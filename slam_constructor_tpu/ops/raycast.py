@@ -1,0 +1,200 @@
+"""Batched ray casting: scan insertion into grid maps and synthetic scan
+generation.
+
+Parity targets (SURVEY.md §2.3, §2.8 [unverified paths]):
+- ``GridRasterizedRectangle`` / Bresenham beam traversal
+  (``src/core/maps/grid_rasterization.h``)  -> fixed-step DDA sampling with
+  consecutive-duplicate-cell masking (static shapes; no data-dependent loops).
+- ``CellOccupancyEstimator`` (const / area)
+  (``src/core/maps/cell_occupancy_estimator.h``, ``area_occupancy_estimator.h``)
+  -> closed-form endpoint-square/cell overlap areas over a 3x3 window.
+- scan adder incl. tinySLAM's wall-blur "hole width" trick
+  (``src/core/maps/grid_map_scan_adder.h``) -> extra samples along the ray
+  tail with ramped occupancy.
+- ``LaserScanGenerator`` (``src/utils/data_generation/laser_scan_generator.h``)
+  -> ``cast_rays``: dense ray marching against an occupancy plane; this is the
+  test oracle replacing datasets while offline.
+
+Everything is one fused jit region per scan: sample positions -> cell
+indices -> masks -> flat scatter-add into (weight, occupancy-sum) planes ->
+cell-model fold (see ``cells.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import grid as gridlib
+from . import scan as scanlib
+from .geometry import apply_pose
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    """Static knobs of the scan adder (reference: scan-adder + estimator
+    construction in init_utils; SURVEY.md §2.7)."""
+
+    max_range: float = 15.0
+    #: DDA step as a fraction of the cell size for the free-space trace
+    step_fraction: float = 0.5
+    #: 'const' (hit cell only) or 'area' (endpoint square vs 3x3 cells)
+    occupancy_estimator: str = "const"
+    #: side of the endpoint square, in meters (tinySLAM "hole width");
+    #: also the blur length when ``wall_blur`` is on
+    hole_width: float = 0.3
+    #: distribute occupied evidence along the ray tail (tinySLAM trick)
+    wall_blur: bool = False
+    #: number of blur samples along the tail when wall_blur is set
+    blur_samples: int = 4
+
+    def n_free_samples(self, scale: float) -> int:
+        return int(math.ceil(self.max_range / (scale * self.step_fraction))) + 1
+
+
+def _flat_scatter_add(plane_shape, rows, cols, vals, valid):
+    """Scatter-add ``vals`` (any shape) into a flat ``f32[H*W]`` image,
+    dropping invalid entries via out-of-range indices + mode='drop'."""
+    h, w = plane_shape
+    lin = rows * w + cols
+    lin = jnp.where(valid & (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w), lin, -1)
+    flat = jnp.zeros((h * w,), jnp.float32)
+    flat = flat.at[lin.ravel()].add(
+        jnp.where(valid, vals, 0.0).ravel(), mode="drop"
+    )
+    return flat.reshape(h, w)
+
+
+def _endpoint_area_obs(gm, endpoints, valid, hole_width):
+    """Area occupancy estimator: overlap of the ``hole_width`` square centered
+    on each endpoint with the 3x3 cell neighborhood.
+
+    Returns (rows, cols, weights, occ_values) each ``[R, 9]``; weight is the
+    overlap area as a fraction of the cell area (the reference's
+    AreaOccupancyEstimator quality), occupancy observed is 1.0.
+    """
+    scale = gm.scale
+    idx = gridlib.world_to_cell(gm, endpoints)  # [R, 2] (row, col)
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"), axis=-1
+    ).reshape(9, 2)
+    nbr = idx[:, None, :] + offs[None, :, :]  # [R, 9, 2]
+    cell_lo = nbr.astype(jnp.float32) * scale + gm.origin[::-1]  # (y, x) corners
+    cell_lo = cell_lo[..., ::-1]  # -> (x, y)
+    half = hole_width / 2.0
+    e = endpoints[:, None, :]
+    ov = jnp.clip(
+        jnp.minimum(cell_lo + scale, e + half) - jnp.maximum(cell_lo, e - half), 0.0
+    )
+    area = ov[..., 0] * ov[..., 1] / (scale * scale)
+    w = jnp.where(valid[:, None], area, 0.0)
+    return nbr[..., 0], nbr[..., 1], w, jnp.ones_like(w)
+
+
+def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
+    """Rasterize one scan from ``pose`` into observation planes.
+
+    Returns ``(w_obs, s_obs)`` — per-cell observation weight and weighted
+    occupancy sum — ready for :func:`grid.apply_observations`. Fuses the
+    reference's per-beam hot loop #2 (SURVEY.md §3.2) into batched DDA.
+    """
+    h, w = gm.height, gm.width
+    scale = gm.scale
+    angles = pose[2] + scan.bearings  # [R]
+    dirs = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)  # [R, 2]
+    start = pose[:2]
+
+    # --- free-space trace ---------------------------------------------------
+    n_s = cfg.n_free_samples(scale)
+    step = scale * cfg.step_fraction
+    t = (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * step  # [S]
+    pts = start + t[None, :, None] * dirs[:, None, :]  # [R, S, 2]
+    idx = gridlib.world_to_cell(gm, pts)  # [R, S, 2]
+    free_limit = scan.ranges - cfg.hole_width / 2.0
+    valid = scan.valid[:, None] & (t[None, :] < free_limit[:, None])
+    # consecutive-duplicate-cell mask: each crossed cell counted once per beam
+    same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
+    first = jnp.ones((idx.shape[0], 1), bool)
+    valid = valid & jnp.concatenate([first, ~same], axis=1)
+    w_free = _flat_scatter_add((h, w), idx[..., 0], idx[..., 1], jnp.ones(idx.shape[:2]), valid)
+    # free observations carry occupancy 0 -> contribute to w only
+
+    # --- occupied evidence at endpoints -------------------------------------
+    endpoints = start + scan.ranges[:, None] * dirs  # [R, 2]
+    if cfg.occupancy_estimator == "area":
+        r9, c9, wgt, occ = _endpoint_area_obs(gm, endpoints, scan.valid, cfg.hole_width)
+        w_occ = _flat_scatter_add((h, w), r9, c9, wgt, wgt > 0)
+        s_occ = _flat_scatter_add((h, w), r9, c9, wgt * occ, wgt > 0)
+    else:
+        eidx = gridlib.world_to_cell(gm, endpoints)
+        ones = jnp.ones(eidx.shape[:1])
+        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, scan.valid)
+        s_occ = w_occ  # occupancy 1.0 at hit cells
+
+    if cfg.wall_blur:
+        # ramped occupied evidence along the ray tail (hole_width long):
+        # occupancy rises linearly to 1 at the endpoint (tinySLAM hole trick)
+        bt = jnp.linspace(0.0, 1.0, cfg.blur_samples + 1)[:-1]  # [B)
+        tb = scan.ranges[:, None] - cfg.hole_width / 2.0 * (1.0 - bt[None, :])
+        pb = start + tb[..., None] * dirs[:, None, :]  # [R, B, 2]
+        ib = gridlib.world_to_cell(gm, pb)
+        occ_ramp = jnp.broadcast_to(bt[None, :], tb.shape)
+        vb = scan.valid[:, None] & (tb > 0)
+        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], jnp.ones_like(tb), vb)
+        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb)
+        w_occ = w_occ + wb
+        s_occ = s_occ + sb
+
+    return w_free + w_occ, s_occ
+
+
+def insert_scan(gm, model, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
+    """Full scan insertion: rasterize + cell-model fold. Pure; jit-safe."""
+    w_obs, s_obs = scan_observation_planes(gm, pose, scan, cfg)
+    return gridlib.apply_observations(gm, model, w_obs, s_obs)
+
+
+# --- synthetic scan generation (test/benchmark oracle) ----------------------
+
+
+def cast_rays(
+    occ_plane: Array,
+    origin: Array,
+    scale: float,
+    pose: Array,
+    bearings: Array,
+    max_range: float = 15.0,
+    threshold: float = 0.5,
+    step_fraction: float = 0.25,
+) -> scanlib.LaserScan:
+    """Ray-march ``bearings`` from ``pose`` against a ground-truth occupancy
+    plane; first sample with occupancy >= threshold is the hit.
+
+    Replaces the reference's ``LaserScanGenerator`` test oracle. Out-of-map
+    samples read as free. Beams that never hit are invalid.
+    """
+    h, w = occ_plane.shape
+    step = scale * step_fraction
+    n_s = int(math.ceil(max_range / step))
+    t = (jnp.arange(n_s, dtype=jnp.float32) + 1.0) * step  # [S]
+    angles = pose[2] + bearings
+    dirs = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)  # [R, 2]
+    pts = pose[:2] + t[None, :, None] * dirs[:, None, :]  # [R, S, 2]
+    rel = (pts - origin) / scale
+    col = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    row = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    vals = gridlib.gather_plane(occ_plane, jnp.stack([row, col], -1), 0.0, h, w)
+    hit = vals >= threshold  # [R, S]
+    any_hit = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    ranges = jnp.where(any_hit, t[first], max_range)
+    return scanlib.LaserScan(
+        ranges=ranges.astype(jnp.float32),
+        bearings=jnp.asarray(bearings, jnp.float32),
+        valid=any_hit,
+    )

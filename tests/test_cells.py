@@ -1,0 +1,103 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.ops import cells
+
+
+def one_cell(model, belief=None):
+    b = jnp.asarray(belief if belief is not None else model.init_belief(), jnp.float32)
+    return b.reshape(1, 1, -1)
+
+
+def upd(model, belief, n_prev, w, s):
+    out = model.update(
+        belief,
+        jnp.full((1, 1), float(n_prev)),
+        jnp.full((1, 1), float(w)),
+        jnp.full((1, 1), float(s)),
+    )
+    return out
+
+
+def test_bayes_base_matches_sequential():
+    m = cells.BayesBaseCell(quality=0.5)
+    # k=3 sequential updates toward occupancy 1.0
+    p = 0.5
+    for _ in range(3):
+        p = 0.5 * p + 0.5 * 1.0
+    b = upd(m, one_cell(m), 0.0, 3.0, 3.0)
+    assert float(b[0, 0, 0]) == pytest.approx(p, abs=1e-6)
+
+
+def test_bayes_base_no_observation_is_noop():
+    m = cells.BayesBaseCell()
+    b = upd(m, one_cell(m, [0.7]), 5.0, 0.0, 0.0)
+    assert float(b[0, 0, 0]) == pytest.approx(0.7)
+
+
+def test_bayes_avg_running_mean():
+    m = cells.BayesAvgCell()
+    b = one_cell(m, [0.0])
+    b = upd(m, b, 0.0, 1.0, 1.0)  # obs 1.0  -> but p0=0.0 with n=0: mean = 1.0
+    assert float(b[0, 0, 0]) == pytest.approx(1.0)
+    b = upd(m, b, 1.0, 1.0, 0.0)  # obs 0.0 -> mean of [1, 0]
+    assert float(b[0, 0, 0]) == pytest.approx(0.5)
+    b = upd(m, b, 2.0, 2.0, 2.0)  # two obs of 1.0 -> mean of [1,0,1,1]
+    assert float(b[0, 0, 0]) == pytest.approx(0.75)
+
+
+def test_tbm_masses_partition_of_unity():
+    m = cells.TBMCell(quality=0.4)
+    b = one_cell(m)
+    for w, s in [(1, 1), (2, 0), (1, 0.5), (3, 3)]:
+        b = upd(m, b, 0.0, w, s)
+        assert float(b.sum()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_tbm_occupied_evidence_raises_occupancy():
+    m = cells.TBMCell(quality=0.4)
+    b = one_cell(m)
+    p0 = float(m.occupancy(b)[0, 0])
+    b = upd(m, b, 0.0, 2.0, 2.0)  # two hits
+    p1 = float(m.occupancy(b)[0, 0])
+    assert p1 > p0
+    b2 = upd(m, one_cell(m), 0.0, 2.0, 0.0)  # two misses
+    assert float(m.occupancy(b2)[0, 0]) < p0
+
+
+def test_tbm_conflict_from_contradiction():
+    m = cells.TBMCell(quality=0.8, conflict_decay=0.0)
+    b = one_cell(m)
+    b = upd(m, b, 0.0, 1.0, 1.0)  # strong occupied
+    b = upd(m, b, 1.0, 1.0, 0.0)  # strong empty -> conflict mass appears
+    assert float(b[0, 0, 3]) > 0.1
+
+
+def test_tbm_conflict_decay_moves_to_unknown():
+    m_decay = cells.TBMCell(quality=0.8, conflict_decay=0.5)
+    b = one_cell(m_decay)
+    b = upd(m_decay, b, 0.0, 1.0, 1.0)
+    b = upd(m_decay, b, 1.0, 1.0, 0.0)
+    m_keep = cells.TBMCell(quality=0.8, conflict_decay=0.0)
+    bk = one_cell(m_keep)
+    bk = upd(m_keep, bk, 0.0, 1.0, 1.0)
+    bk = upd(m_keep, bk, 1.0, 1.0, 0.0)
+    assert float(b[0, 0, 3]) < float(bk[0, 0, 3])
+
+
+def test_fractional_weight_is_smooth():
+    m = cells.BayesBaseCell(quality=0.5)
+    ps = [float(upd(m, one_cell(m), 0, w, w)[0, 0, 0]) for w in (0.5, 1.0, 1.5)]
+    assert ps[0] < ps[1] < ps[2]
+
+    t = cells.TBMCell(quality=0.4)
+    os_ = [
+        float(t.occupancy(upd(t, one_cell(t), 0, w, w))[0, 0])
+        for w in (0.5, 1.0, 1.5)
+    ]
+    assert os_[0] < os_[1] < os_[2]
+
+
+def test_registry():
+    assert set(cells.CELL_MODELS) == {"bayes_base", "bayes_avg", "tbm"}

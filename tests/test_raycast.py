@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.ops import cells, grid, raycast, scan as scanlib
+from slam_constructor_tpu.utils import datagen
+
+
+def test_cast_rays_box():
+    # 10m box centered at origin; robot at center; walls at +/-5m
+    occ, origin, scale = datagen.box_world(10.0, 0.1, obstacles=0)
+    bearings = jnp.array([0.0, np.pi / 2, np.pi, -np.pi / 2], jnp.float32)
+    s = raycast.cast_rays(occ, origin, scale, jnp.zeros(3), bearings)
+    assert bool(s.valid.all())
+    np.testing.assert_allclose(np.asarray(s.ranges), [4.9] * 4, atol=0.1)
+
+
+def test_cast_rays_rotated_pose():
+    occ, origin, scale = datagen.box_world(10.0, 0.1, obstacles=0)
+    pose = jnp.array([2.0, 0.0, np.pi], jnp.float32)  # facing -x
+    s = raycast.cast_rays(occ, origin, scale, pose, jnp.array([0.0]))
+    assert float(s.ranges[0]) == pytest.approx(6.9, abs=0.1)
+
+
+def test_cast_rays_max_range_invalid():
+    occ = jnp.zeros((50, 50))  # empty world, nothing to hit
+    s = raycast.cast_rays(occ, jnp.array([-2.5, -2.5]), 0.1, jnp.zeros(3),
+                          jnp.array([0.0]), max_range=5.0)
+    assert not bool(s.valid[0])
+
+
+@pytest.mark.parametrize("estimator", ["const", "area"])
+def test_insert_scan_marks_walls_and_free(estimator):
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=0)
+    bearings = datagen.default_bearings(180)
+    true_scan = raycast.cast_rays(occ, origin, scale, jnp.zeros(3), bearings)
+
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    cfg = raycast.BeamConfig(occupancy_estimator=estimator)
+    gm = raycast.insert_scan(gm, model, jnp.zeros(3), true_scan, cfg)
+    est = grid.occupancy_plane(gm, model)
+    known = grid.known_mask(gm)
+
+    # free space near the robot is known and free
+    c = 40
+    assert bool(known[c, c])
+    assert float(est[c - 5 : c + 5, c - 5 : c + 5].max()) < 0.2
+    # wall cells along +x are occupied
+    wall_col = int((3.9 - float(origin[0])) / 0.1)
+    assert float(est[c, wall_col]) > 0.5
+
+
+def test_insert_scan_wall_blur_runs():
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=0)
+    bearings = datagen.default_bearings(90)
+    s = raycast.cast_rays(occ, origin, scale, jnp.zeros(3), bearings)
+    model = cells.BayesBaseCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    cfg = raycast.BeamConfig(wall_blur=True)
+    gm = raycast.insert_scan(gm, model, jnp.zeros(3), s, cfg)
+    assert float(grid.occupancy_plane(gm, model).max()) > 0.5
+
+
+def test_insert_is_jittable():
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=0)
+    bearings = datagen.default_bearings(90)
+    s = raycast.cast_rays(occ, origin, scale, jnp.zeros(3), bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    cfg = raycast.BeamConfig()
+    f = jax.jit(lambda g, p, sc: raycast.insert_scan(g, model, p, sc, cfg))
+    out = f(gm, jnp.zeros(3), s)
+    assert out.cells.shape == gm.cells.shape
+
+
+def test_synth_sequence_shapes():
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(10)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(0)
+    )
+    assert scans.ranges.shape == (10, 90)
+    assert odom.shape == (10, 3)
+    # odometry roughly tracks the true +x step of the corridor trajectory
+    true_dx = float(poses[1, 0] - poses[0, 0])
+    assert float(jnp.abs(odom[1:, 0] - true_dx).max()) < 0.1

@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.ops import cells, grid, raycast, scoring
+from slam_constructor_tpu.utils import datagen
+
+
+@pytest.fixture(scope="module")
+def setup():
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=1)
+    bearings = datagen.default_bearings(180)
+    true_pose = jnp.zeros(3)
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    gm = raycast.insert_scan(gm, model, true_pose, s, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+    return view, s, true_pose
+
+
+@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean", "overlap"])
+def test_true_pose_beats_displaced(setup, reducer):
+    view, s, true_pose = setup
+    cfg = scoring.ScoringConfig(reducer=reducer)
+    poses = jnp.stack([
+        true_pose,
+        true_pose + jnp.array([0.5, 0.0, 0.0]),
+        true_pose + jnp.array([0.0, -0.5, 0.1]),
+    ])
+    probs = scoring.score_poses(view, s, poses, cfg)
+    assert probs.shape == (3,)
+    assert float(probs[0]) > float(probs[1])
+    assert float(probs[0]) > float(probs[2])
+    assert float(probs[0]) > 0.5
+
+
+def test_max_reducer_ge_obstacle(setup):
+    view, s, true_pose = setup
+    poses = true_pose[None, :] + jnp.array([[0.05, 0.03, 0.01]])
+    p_obs = scoring.score_poses(view, s, poses, scoring.ScoringConfig(reducer="obstacle"))
+    p_max = scoring.score_poses(view, s, poses, scoring.ScoringConfig(reducer="max"))
+    assert float(p_max[0]) >= float(p_obs[0]) - 1e-6
+
+
+def test_stride_subsampling(setup):
+    view, s, true_pose = setup
+    cfg = scoring.ScoringConfig(stride=4)
+    p = scoring.score_poses(view, s, true_pose[None], cfg)
+    assert 0.4 < float(p[0]) <= 1.0
+
+
+def test_point_weights(setup):
+    view, s, true_pose = setup
+    w = jnp.zeros(s.n_beams).at[0].set(1.0)  # only beam 0 counts
+    p = scoring.score_poses(view, s, true_pose[None], scoring.ScoringConfig(), w)
+    assert p.shape == (1,)
+
+
+def test_unknown_map_scores_unknown_prob():
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 40, 40, 0.2)
+    view = scoring.MapView.of(gm, model)
+    bearings = datagen.default_bearings(30)
+    s = raycast.cast_rays(jnp.zeros((40, 40)), gm.origin, 0.2, jnp.zeros(3), bearings)
+    s = s.replace(valid=jnp.ones_like(s.valid))  # force beams valid
+    p = scoring.score_poses(view, s, jnp.zeros((1, 3)),
+                            scoring.ScoringConfig(unknown_prob=0.3))
+    assert float(p[0]) == pytest.approx(0.3, abs=1e-5)
+
+
+def test_score_is_jittable(setup):
+    view, s, true_pose = setup
+    cfg = scoring.ScoringConfig(reducer="overlap")
+    f = jax.jit(lambda v, sc, p: scoring.score_poses(v, sc, p, cfg))
+    out = f(view, s, true_pose[None])
+    assert out.shape == (1,)
