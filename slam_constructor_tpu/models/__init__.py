@@ -1,0 +1,1 @@
+from . import engine, tiny, viny  # noqa: F401

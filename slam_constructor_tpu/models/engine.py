@@ -1,0 +1,176 @@
+"""The SLAM engine: the reference's ``World`` layer as a pure step function.
+
+Parity targets (SURVEY.md §2.2, §3.2 [unverified paths]):
+- ``World<ObservationT, MapT>::handle_sensor_data`` +
+  ``LaserScanGridWorld`` (``src/core/states/world.h``,
+  ``laser_scan_grid_world.h``): per-scan control flow =
+  scan-match(prior ⊕ odometry) -> update pose -> insert scan into map.
+
+Re-design: the reference is an OOP event loop driven by ROS callbacks, one
+virtual dispatch per component per scan. Here a *single-hypothesis* SLAM
+algorithm is one jitted pure function ``step(state, obs) -> state`` over a
+``SlamState`` pytree, with every component (cell model, matcher, scan adder)
+chosen at trace time from static config. Whole sequences run device-resident
+under ``lax.scan`` (``run_sequence``) so host<->device traffic is one
+transfer per *sequence*, not per scan — the pipeline-parallel answer to the
+reference's strictly serial per-scan loop.
+
+The GMapping-style particle-filter world builds on the same pieces in
+``gmapping.py``; the pose-graph backend is ``posegraph.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import cells as cellslib
+from ..ops import grid as gridlib
+from ..ops import matchers as matcherslib
+from ..ops import raycast, scoring
+from ..ops.geometry import compose
+from ..ops.scan import LaserScan
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static, hashable configuration tree (the reference's
+    PropertiesProvider-selected component wiring — SURVEY.md §2.8)."""
+
+    cell_model: Any = cellslib.BayesAvgCell()
+    matcher: str = "monte_carlo"  # key into ops.matchers.MATCHERS
+    matcher_cfg: Any = matcherslib.MonteCarloConfig()
+    beam: raycast.BeamConfig = raycast.BeamConfig()
+    map_height: int = 256
+    map_width: int = 256
+    map_scale: float = 0.1
+    #: skip map insertion when match probability is below this (vinySLAM's
+    #: quality gating; 0.0 = always insert like tinySLAM)
+    min_insert_prob: float = 0.0
+    #: weight beams by scan-degeneracy angle histogram (vinySLAM feature)
+    use_angle_histogram: bool = False
+
+
+@struct.dataclass
+class SlamState:
+    """Single-hypothesis engine state — one pytree, checkpointable as-is."""
+
+    gm: gridlib.GridMap
+    pose: Array  # f32[3]
+    key: Array
+    step: Array  # i32[]
+    last_prob: Array  # f32[]
+
+
+def init_state(cfg: EngineConfig, key: Array | None = None) -> SlamState:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    gm = gridlib.make_grid_map(
+        cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
+    )
+    return SlamState(
+        gm=gm,
+        pose=jnp.zeros(3, jnp.float32),
+        key=key,
+        step=jnp.int32(0),
+        last_prob=jnp.float32(0.0),
+    )
+
+
+def _point_weights(cfg: EngineConfig, scan: LaserScan) -> Array | None:
+    if not cfg.use_angle_histogram:
+        return None
+    # vinySLAM-style degeneracy weighting: beams pointing along
+    # over-represented wall directions get down-weighted
+    from ..ops.scan import angle_histogram
+
+    hist = angle_histogram(scan)
+    n_bins = hist.shape[0]
+    bins = jnp.clip(
+        jnp.floor((scan.bearings + jnp.pi) / (2 * jnp.pi) * n_bins), 0, n_bins - 1
+    ).astype(jnp.int32)
+    w = 1.0 / (1.0 + hist[bins] * n_bins)
+    return w.astype(jnp.float32)
+
+
+def slam_step(
+    cfg: EngineConfig, state: SlamState, scan: LaserScan, odom_delta: Array
+) -> SlamState:
+    """One scan: match then map (reference hot path, SURVEY.md §3.2)."""
+    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    prior = compose(state.pose, odom_delta)
+    key, sub = jax.random.split(state.key)
+    view = scoring.MapView.of(state.gm, cfg.cell_model)
+    pw = _point_weights(cfg, scan)
+    res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+
+    w_obs, s_obs = raycast.scan_observation_planes(
+        state.gm, res.pose, scan, cfg.beam
+    )
+    do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
+    gm = gridlib.apply_observations(
+        state.gm,
+        cfg.cell_model,
+        jnp.where(do_insert, w_obs, 0.0),
+        jnp.where(do_insert, s_obs, 0.0),
+    )
+    return SlamState(
+        gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob
+    )
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def run_sequence(
+    cfg: EngineConfig, state: SlamState, scans: LaserScan, odom: Array
+):
+    """Device-resident run over a whole scan sequence.
+
+    ``scans`` is a batched LaserScan pytree ``[T, R]``; ``odom`` is
+    ``f32[T, 3]``. Returns (final_state, trajectory f32[T, 3], probs f32[T]).
+    """
+
+    def body(st, inp):
+        scan, od = inp
+        st = slam_step(cfg, st, scan, od)
+        return st, (st.pose, st.last_prob)
+
+    state, (traj, probs) = jax.lax.scan(body, state, (scans, odom))
+    return state, traj, probs
+
+
+class Engine:
+    """Host-side driver (the reference's node main + ros::spin replacement):
+    owns config + compiled step, feeds scans, exposes map/trajectory."""
+
+    def __init__(self, cfg: EngineConfig, key: Array | None = None):
+        self.cfg = cfg
+        self.state = init_state(cfg, key)
+        self._step = jax.jit(partial(slam_step, cfg))
+        self.trajectory: list = []
+
+    def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
+        """Online mode: one scan at a time (ROS-callback equivalent)."""
+        self.state = self._step(self.state, scan, odom_delta)
+        self.trajectory.append(self.state.pose)
+        return self.state.pose
+
+    def run(self, scans: LaserScan, odom: Array):
+        """Offline mode: whole sequence in one device dispatch."""
+        self.state, traj, probs = run_sequence(self.cfg, self.state, scans, odom)
+        self.trajectory.extend(list(traj))
+        return traj, probs
+
+    @property
+    def occupancy(self) -> Array:
+        return gridlib.occupancy_plane(self.state.gm, self.cfg.cell_model)
+
+    @property
+    def pose(self) -> Array:
+        return self.state.pose

@@ -137,16 +137,21 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
         s_occ = w_occ  # occupancy 1.0 at hit cells
 
     if cfg.wall_blur:
-        # ramped occupied evidence along the ray tail (hole_width long):
-        # occupancy rises linearly to 1 at the endpoint (tinySLAM hole trick)
-        bt = jnp.linspace(0.0, 1.0, cfg.blur_samples + 1)[:-1]  # [B)
-        tb = scan.ranges[:, None] - cfg.hole_width / 2.0 * (1.0 - bt[None, :])
+        # tinySLAM "hole" trick: triangular occupied evidence centered ON the
+        # endpoint, extending hole_width/2 along the ray on BOTH sides — a
+        # symmetric profile. (A one-sided ramp biases matching backward along
+        # the beam: shifted-short endpoints would land in the ramp while
+        # shifted-long ones fall into unknown space.)
+        bt = jnp.linspace(-1.0, 1.0, cfg.blur_samples)  # [B] in hole units
+        tb = scan.ranges[:, None] + cfg.hole_width / 2.0 * bt[None, :]
         pb = start + tb[..., None] * dirs[:, None, :]  # [R, B, 2]
         ib = gridlib.world_to_cell(gm, pb)
-        occ_ramp = jnp.broadcast_to(bt[None, :], tb.shape)
+        occ_ramp = jnp.broadcast_to(1.0 - jnp.abs(bt)[None, :], tb.shape)
         vb = scan.valid[:, None] & (tb > 0)
-        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], jnp.ones_like(tb), vb)
-        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb)
+        # weight AND observed occupancy both taper with the triangle, so the
+        # map reads occupancy ~ramp at distance |d| from the wall center
+        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb)
+        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp**2, vb)
         w_occ = w_occ + wb
         s_occ = s_occ + sb
 

@@ -35,10 +35,11 @@ def cecum_world(scale: float = 0.1, upscale: int = 4):
     """The reference's corridor-with-dead-end ("cecum") fixture: a ring
     corridor around a central block, with a dead-end gap in the block's
     lower wall. Each ASCII char maps to ``upscale`` x ``upscale`` cells;
-    defaults give a 14.4m x 4.4m world at 0.1 m/cell.
+    defaults give a 14.4m x 5.2m world (corridors 1.2m wide) at 0.1 m/cell.
     Returns (occ f32[H, W], origin f32[2], scale)."""
     art = """
 ####################################
+#                                  #
 #                                  #
 #                                  #
 #      ####################        #
@@ -46,6 +47,7 @@ def cecum_world(scale: float = 0.1, upscale: int = 4):
 #      #                  #        #
 #      #                  #        #
 #      ########  ##########        #
+#                                  #
 #                                  #
 #                                  #
 ####################################
@@ -83,7 +85,7 @@ def default_bearings(n_beams: int = 360, fov: float = 2 * np.pi) -> Array:
     )
 
 
-def corridor_trajectory(n_steps: int = 60, y: float = -1.5) -> Array:
+def corridor_trajectory(n_steps: int = 60, y: float = -1.6) -> Array:
     """Drive +x along the lower corridor of the default cecum world (the
     corridor spans y in about (-2.2, -0.9); ends are visible for x fixing)."""
     xs = np.linspace(-4.5, 4.5, n_steps)

@@ -1,0 +1,115 @@
+"""End-to-end single-hypothesis SLAM tests: drive tiny/viny presets over a
+synthetic sequence with noisy odometry and assert the matcher keeps the
+trajectory near ground truth (beats raw odometry) — the reference's
+integration-test intent (SURVEY.md §4) made runnable offline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import engine as eng
+from slam_constructor_tpu.models import tiny, viny
+from slam_constructor_tpu.ops.geometry import compose
+from slam_constructor_tpu.utils import datagen, evaluate
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(30)
+    bearings = datagen.default_bearings(120)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(7),
+        odom_noise_xy=0.02, odom_noise_theta=0.01,
+    )
+    return scans, odom, gt
+
+
+def odometry_trajectory(odom):
+    p = jnp.zeros(3)
+    out = []
+    for d in odom:
+        p = compose(p, d)
+        out.append(p)
+    return jnp.stack(out)
+
+
+def test_tiny_slam_tracks_and_beats_odometry(sequence):
+    scans, odom, gt = sequence
+    e = tiny.make_engine(mc_batch=32, mc_rounds=10)
+    # start at the true start pose (map frame anchored there)
+    e.state = e.state.replace(pose=gt[0])
+    traj, probs = e.run(scans, odom)
+    err_slam = evaluate.ate(traj, gt, align=False)
+    assert float(err_slam) < 0.15, f"ATE {float(err_slam)}"
+    assert float(probs[1:].min()) > 0.3
+
+
+def test_tiny_map_quality(sequence):
+    scans, odom, gt = sequence
+    e = tiny.make_engine(mc_batch=32, mc_rounds=10)
+    e.state = e.state.replace(pose=gt[0])
+    e.run(scans, odom)
+    occ = np.asarray(e.occupancy)
+    # some occupied structure should exist and free space known
+    assert (occ > 0.6).sum() > 50
+    assert (occ < 0.2).sum() > 500
+
+
+def test_viny_slam_tracks(sequence):
+    scans, odom, gt = sequence
+    e = viny.make_engine(mc_batch=32, mc_rounds=10)
+    e.state = e.state.replace(pose=gt[0])
+    traj, probs = e.run(scans, odom)
+    assert float(evaluate.ate(traj, gt, align=False)) < 0.2
+
+
+def test_online_matches_offline(sequence):
+    """Online per-scan stepping must equal the lax.scan offline run
+    (determinism requirement — SURVEY.md §5 checkpoint/reproducibility)."""
+    scans, odom, gt = sequence
+    cfg = tiny.tiny_config(mc_batch=16, mc_rounds=6)
+    e1 = eng.Engine(cfg)
+    e1.state = e1.state.replace(pose=gt[0])
+    e2 = eng.Engine(cfg)
+    e2.state = e2.state.replace(pose=gt[0])
+
+    traj_off, _ = e1.run(scans, odom)
+    n = 5
+    for i in range(n):
+        e2.handle_scan(
+            jax.tree.map(lambda a: a[i], scans), odom[i]
+        )
+    np.testing.assert_allclose(
+        np.asarray(traj_off[:n]), np.asarray(jnp.stack(e2.trajectory)), atol=1e-5
+    )
+
+
+def test_ate_evaluator():
+    gt = jnp.stack([jnp.arange(10.0), jnp.zeros(10), jnp.zeros(10)], -1)
+    # rotated + shifted copy should align to ~0 ATE
+    th = 0.3
+    rot = jnp.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    est_xy = gt[:, :2] @ rot.T + jnp.array([5.0, -2.0])
+    est = jnp.concatenate([est_xy, gt[:, 2:] + th], -1)  # rigidly moved copy
+    assert float(evaluate.ate(est, gt, align=True)) < 1e-4
+    assert float(evaluate.ate(est, gt, align=False)) > 1.0
+    t_err, r_err = evaluate.rpe(est, gt)
+    assert float(t_err) < 1e-4  # rigid motion preserves body-frame deltas
+    assert float(r_err) < 1e-4
+
+
+def test_trajectory_io(tmp_path):
+    from slam_constructor_tpu.utils import trajectory as tio
+
+    poses = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 0.5], [-1.0, 0.5, -2.0]], np.float32)
+    p = tmp_path / "traj.txt"
+    tio.save_tum(str(p), poses)
+    ts, loaded = tio.load_tum(str(p))
+    np.testing.assert_allclose(loaded, poses, atol=1e-5)
+
+    occ = np.random.default_rng(0).uniform(size=(20, 20)).astype(np.float32)
+    pgm = tmp_path / "map.pgm"
+    tio.save_map_pgm(str(pgm), occ)
+    assert pgm.read_bytes().startswith(b"P5")
