@@ -1,1 +1,1 @@
-from . import engine, tiny, viny  # noqa: F401
+from . import engine, full, gmapping, posegraph, tiny, viny  # noqa: F401

@@ -1,0 +1,116 @@
+"""Full SLAM pipeline: grid tracking + keyframe pose graph + loop closure.
+
+This is BASELINE config[3] ("full pipeline with pose-graph loop closure"):
+the single-hypothesis tracker (tiny/viny style) runs per scan; keyframes are
+gated by travel distance; each new keyframe is matched against old nearby
+keyframes for loop closures; when a loop closes, the SE(2) Gauss-Newton
+solver re-optimizes the keyframe graph, the tracker pose is re-anchored, and
+the map is regenerated from optimized keyframes.
+
+Host/device split (the PP axis of SURVEY.md §2.9): per-scan tracking is one
+jitted step; keyframe/loop/optimize work runs at keyframe rate in separate
+jitted functions — the low-rate "bundle-adjustment stage" overlapping the
+high-rate tracking stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid as gridlib
+from ..ops import raycast
+from ..ops.geometry import between, compose
+from ..ops.scan import LaserScan
+from . import posegraph as pg
+from .engine import EngineConfig, SlamState, init_state, slam_step
+from .tiny import tiny_config
+
+
+@dataclasses.dataclass(frozen=True)
+class FullConfig:
+    tracking: EngineConfig = None  # default filled in __post_init__
+    graph: pg.PoseGraphConfig = pg.PoseGraphConfig()
+    #: re-optimize + regenerate map every time this many loops accumulate
+    optimize_every_loops: int = 1
+
+    def __post_init__(self):
+        if self.tracking is None:
+            object.__setattr__(self, "tracking", tiny_config())
+
+
+class FullSlamEngine:
+    """Host driver for the loop-closing pipeline."""
+
+    def __init__(self, cfg: FullConfig | None = None, n_beams: int = 360, key=None):
+        self.cfg = cfg or FullConfig()
+        t = self.cfg.tracking
+        self.state: SlamState = init_state(t, key)
+        self.graph: pg.PoseGraphState = pg.init_state(self.cfg.graph, n_beams)
+        self.pending_loops = 0
+        self.total_loops = 0
+        self.trajectory: list = []
+
+        model = t.cell_model
+        self._track = jax.jit(partial(slam_step, t))
+        self._should_add = jax.jit(partial(pg.should_add_keyframe, self.cfg.graph))
+        self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
+        self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
+        self._optimize = jax.jit(partial(pg.optimize, self.cfg.graph))
+        self._regen = jax.jit(
+            partial(
+                pg.regenerate_map, self.cfg.graph, model, beam=t.beam
+            )
+        )
+
+    def handle_scan(self, scan: LaserScan, odom_delta) -> jax.Array:
+        self.state = self._track(self.state, scan, odom_delta)
+        pose = self.state.pose
+
+        if bool(self._should_add(self.graph, pose)):
+            old_last = self.graph.kf_poses[jnp.maximum(self.graph.last_kf, 0)]
+            self.graph = self._add_kf(self.graph, pose, scan)
+            self.graph, n_loops = self._detect(self.graph, scan, pose)
+            self.pending_loops += int(n_loops)
+            self.total_loops += int(n_loops)
+            if self.pending_loops >= self.cfg.optimize_every_loops:
+                self._close_loops()
+                self.pending_loops = 0
+
+        self.trajectory.append(self.state.pose)
+        return self.state.pose
+
+    def _close_loops(self):
+        """Optimize the graph, re-anchor the tracker, regenerate the map."""
+        last = self.graph.last_kf
+        before = self.graph.kf_poses[last]
+        self.graph = self._optimize(self.graph)
+        after = self.graph.kf_poses[last]
+        # re-anchor tracking pose: keep the offset from the last keyframe
+        new_pose = compose(after, between(before, self.state.pose))
+        fresh = gridlib.make_grid_map(
+            self.cfg.tracking.cell_model,
+            self.cfg.tracking.map_height,
+            self.cfg.tracking.map_width,
+            self.cfg.tracking.map_scale,
+        )
+        gm = self._regen(self.graph, fresh)
+        self.state = self.state.replace(gm=gm, pose=new_pose)
+
+    def run(self, scans: LaserScan, odom):
+        n = odom.shape[0]
+        for i in range(n):
+            self.handle_scan(jax.tree.map(lambda a: a[i], scans), odom[i])
+        return jnp.stack(self.trajectory)
+
+    @property
+    def keyframe_poses(self):
+        n = int(self.graph.n_kf)
+        return self.graph.kf_poses[:n]
+
+    @property
+    def occupancy(self):
+        return gridlib.occupancy_plane(self.state.gm, self.cfg.tracking.cell_model)

@@ -1,0 +1,190 @@
+"""GMapping-style Rao-Blackwellized particle filter SLAM.
+
+Parity targets (SURVEY.md §2.6, §3.4 [unverified]): the reference's
+``src/slams/gmapping/`` re-implementation — P particles, each owning a pose
+trajectory AND a private map; per-particle scan matching refines the
+odometry proposal; weights multiply by scan likelihood; systematic
+resampling when Neff drops (which in the reference deep-copies whole maps).
+
+Re-design: the particle axis is a *batch* axis. Every per-particle step —
+matching, weighting, map insertion — is one ``vmap`` dispatch over stacked
+state ``(P, ...)``, so the TPU sees a ``[P*K, R, W]`` score gather instead
+of a serial particle loop. Resampling gathers the stacked map tensor along
+axis 0 (one device gather; the block-pool map upgrade makes this an index
+copy). The particle axis is also the unit of multi-chip sharding
+(parallel/particles.py shards it over the mesh with psum normalization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import cells as cellslib
+from ..ops import grid as gridlib
+from ..ops import matchers as matcherslib
+from ..ops import raycast, resample, scoring
+from ..ops.geometry import compose
+from ..ops.scan import LaserScan
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GMappingConfig:
+    n_particles: int = 30
+    cell_model: Any = cellslib.BayesAvgCell()
+    matcher: str = "monte_carlo"
+    matcher_cfg: Any = matcherslib.MonteCarloConfig(
+        sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6
+    )
+    beam: raycast.BeamConfig = raycast.BeamConfig()
+    map_height: int = 256
+    map_width: int = 256
+    map_scale: float = 0.1
+    #: odometry proposal noise (sampled per particle, the RBPF proposal)
+    noise_xy: float = 0.03
+    noise_theta: float = 0.015
+    #: resample when Neff < frac * P
+    resample_threshold: float = 0.5
+    #: sharpness of the weight update: logw += gamma * log(prob)
+    weight_gamma: float = 8.0
+
+
+@struct.dataclass
+class GMappingState:
+    gm: gridlib.GridMap  # cells f32[P, H, W, C]; origin f32[P, 2]
+    poses: Array  # f32[P, 3]
+    log_weights: Array  # f32[P]
+    key: Array
+    step: Array  # i32[]
+
+
+def init_state(cfg: GMappingConfig, key: Array | None = None) -> GMappingState:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    gm1 = gridlib.make_grid_map(
+        cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
+    )
+    p = cfg.n_particles
+    gm = gridlib.GridMap(
+        cells=jnp.broadcast_to(gm1.cells, (p, *gm1.cells.shape)),
+        origin=jnp.broadcast_to(gm1.origin, (p, 2)),
+        scale=gm1.scale,
+    )
+    return GMappingState(
+        gm=gm,
+        poses=jnp.zeros((p, 3), jnp.float32),
+        log_weights=jnp.full((p,), -jnp.log(float(p))),
+        key=key,
+        step=jnp.int32(0),
+    )
+
+
+def gmapping_step(
+    cfg: GMappingConfig, state: GMappingState, scan: LaserScan, odom_delta: Array
+) -> GMappingState:
+    """One RBPF step: propose -> match -> weight -> insert -> resample."""
+    p = cfg.n_particles
+    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
+
+    # 1. proposal: odometry + per-particle noise
+    noise = jax.random.normal(k_noise, (p, 3)) * jnp.array(
+        [cfg.noise_xy, cfg.noise_xy, cfg.noise_theta]
+    )
+    priors = compose(state.poses, odom_delta[None, :] + noise)
+
+    # 2. per-particle scan match against the particle's OWN map
+    def match_one(gm_p, prior_p, key_p):
+        view = scoring.MapView.of(gm_p, cfg.cell_model)
+        res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
+        return res.pose, res.prob
+
+    keys = jax.random.split(k_match, p)
+    poses, probs = jax.vmap(match_one)(state.gm, priors, keys)
+
+    # 3. weight update: w *= p(scan | map, pose)^gamma
+    logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
+    logw = resample.normalize_log_weights(logw)
+
+    # 4. insert scan into every particle map
+    def insert_one(gm_p, pose_p):
+        return raycast.insert_scan(gm_p, cfg.cell_model, pose_p, scan, cfg.beam)
+
+    gm = jax.vmap(insert_one)(state.gm, poses)
+
+    # 5. conditional systematic resampling (branch-free); map copy is a
+    # gather along the particle axis
+    idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
+    gm = jax.tree.map(lambda a: a[idx], gm)
+    poses = poses[idx]
+
+    return GMappingState(
+        gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+    )
+
+
+def best_particle(state: GMappingState) -> Array:
+    return jnp.argmax(state.log_weights)
+
+
+def estimate_pose(state: GMappingState) -> Array:
+    """Pose of the highest-weight particle (reference convention)."""
+    return state.poses[best_particle(state)]
+
+
+def neff(state: GMappingState) -> Array:
+    return resample.effective_sample_size(state.log_weights)
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def run_sequence(
+    cfg: GMappingConfig, state: GMappingState, scans: LaserScan, odom: Array
+):
+    """Whole-sequence device-resident RBPF run.
+
+    Returns (final state, best-particle trajectory f32[T, 3], Neff f32[T]).
+    """
+
+    def body(st, inp):
+        scan, od = inp
+        st = gmapping_step(cfg, st, scan, od)
+        return st, (estimate_pose(st), neff(st))
+
+    state, (traj, neffs) = jax.lax.scan(body, state, (scans, odom))
+    return state, traj, neffs
+
+
+class GMappingEngine:
+    """Host driver mirroring models.engine.Engine for the RBPF world."""
+
+    def __init__(self, cfg: GMappingConfig | None = None, key=None, **kwargs):
+        if cfg is None:
+            cfg = GMappingConfig(**kwargs)
+        self.cfg = cfg
+        self.state = init_state(cfg, key)
+        self._step = jax.jit(partial(gmapping_step, cfg))
+        self.trajectory: list = []
+
+    def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
+        self.state = self._step(self.state, scan, odom_delta)
+        pose = estimate_pose(self.state)
+        self.trajectory.append(pose)
+        return pose
+
+    def run(self, scans: LaserScan, odom: Array):
+        self.state, traj, neffs = run_sequence(self.cfg, self.state, scans, odom)
+        self.trajectory.extend(list(traj))
+        return traj, neffs
+
+    @property
+    def occupancy(self) -> Array:
+        i = best_particle(self.state)
+        gm_best = jax.tree.map(lambda a: a[i], self.state.gm)
+        return gridlib.occupancy_plane(gm_best, self.cfg.cell_model)

@@ -1,0 +1,317 @@
+"""Keyframe pose graph with loop closure and SE(2) Gauss-Newton solve.
+
+This subsystem has NO direct counterpart in the reference master branch
+(SURVEY.md §2.6: pose-graph/loop-closure is a required capability from
+BASELINE.json configs[3], new in this build). Design:
+
+- Fixed-capacity keyframe store (static shapes): poses, scans, and a chain
+  of odometric edges; loop-closure edges appended into the same edge table.
+- Loop detection re-uses the batched score kernel: a candidate old keyframe's
+  scan is rendered into a small local map; the new scan is brute-force
+  matched against it (coarse-to-fine window). All candidates are scored in
+  one vmap dispatch with validity masks — no data-dependent control flow.
+- The solver is Gauss-Newton on SE(2) relative-pose residuals
+  ``e = [R(th_i)^T (t_j - t_i) - z_t, wrap(th_j - th_i - z_th)]`` with dense
+  normal equations assembled by scatter-adding 3x3 blocks — a fixed-shape
+  [3K, 3K] Cholesky solve on the MXU (K = keyframe capacity; unused DOFs are
+  masked with identity rows). Gauge freedom is fixed by anchoring keyframe 0.
+- ``schur_solve`` exposes block elimination (the Schur-complement reduction
+  used by the distributed solver in parallel/dist_ba.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import grid as gridlib
+from ..ops import matchers as matcherslib
+from ..ops import raycast, scoring
+from ..ops.geometry import between, compose, pose_distance, wrap_angle
+from ..ops.scan import LaserScan
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    max_keyframes: int = 128
+    max_edges: int = 512
+    #: add a keyframe when the robot moved this far from the last one
+    keyframe_distance: float = 0.5
+    keyframe_angle_weight: float = 1.0
+    #: loop closure: candidate keyframes within this radius, at least
+    #: ``min_index_gap`` keyframes older, matched above ``min_prob``
+    loop_radius: float = 2.0
+    min_index_gap: int = 10
+    min_prob: float = 0.6
+    #: max loop candidates scored per keyframe (batch width)
+    max_candidates: int = 8
+    #: local map rendered around an old keyframe for loop matching
+    local_map_size: int = 96
+    local_map_scale: float = 0.1
+    #: matcher used to refine loop-closure relative poses
+    loop_matcher: matcherslib.BruteForceConfig = matcherslib.BruteForceConfig(
+        half_x=0.6, half_y=0.6, half_theta=0.3, n_x=9, n_y=9, n_theta=9,
+        scoring=scoring.ScoringConfig(reducer="overlap"),
+    )
+    #: information (inverse covariance) diagonals for the two edge types
+    odom_info: tuple = (100.0, 100.0, 400.0)
+    loop_info: tuple = (50.0, 50.0, 200.0)
+    gn_iterations: int = 10
+    gn_damping: float = 1e-4
+
+
+@struct.dataclass
+class PoseGraphState:
+    kf_poses: Array  # f32[K, 3] current estimates
+    kf_scans: LaserScan  # stacked [K, R]
+    n_kf: Array  # i32[]
+    edge_i: Array  # i32[E]
+    edge_j: Array  # i32[E]
+    edge_delta: Array  # f32[E, 3] measured j in i's frame
+    edge_info: Array  # f32[E, 3] diagonal information
+    n_edges: Array  # i32[]
+    #: index of the last added keyframe (tracking chain tail)
+    last_kf: Array  # i32[]
+
+
+def init_state(cfg: PoseGraphConfig, n_beams: int) -> PoseGraphState:
+    k, e = cfg.max_keyframes, cfg.max_edges
+    empty_scan = LaserScan(
+        ranges=jnp.zeros((k, n_beams), jnp.float32),
+        bearings=jnp.zeros((k, n_beams), jnp.float32),
+        valid=jnp.zeros((k, n_beams), bool),
+    )
+    return PoseGraphState(
+        kf_poses=jnp.zeros((k, 3), jnp.float32),
+        kf_scans=empty_scan,
+        n_kf=jnp.int32(0),
+        edge_i=jnp.zeros((e,), jnp.int32),
+        edge_j=jnp.zeros((e,), jnp.int32),
+        edge_delta=jnp.zeros((e, 3), jnp.float32),
+        edge_info=jnp.zeros((e, 3), jnp.float32),
+        n_edges=jnp.int32(0),
+        last_kf=jnp.int32(-1),
+    )
+
+
+def should_add_keyframe(cfg: PoseGraphConfig, st: PoseGraphState, pose: Array) -> Array:
+    no_kf = st.n_kf == 0
+    last = st.kf_poses[jnp.maximum(st.last_kf, 0)]
+    far = pose_distance(last, pose, cfg.keyframe_angle_weight) > cfg.keyframe_distance
+    return no_kf | far
+
+
+def _append_edge(st: PoseGraphState, i, j, delta, info) -> PoseGraphState:
+    e = st.n_edges
+    return st.replace(
+        edge_i=st.edge_i.at[e].set(i),
+        edge_j=st.edge_j.at[e].set(j),
+        edge_delta=st.edge_delta.at[e].set(delta),
+        edge_info=st.edge_info.at[e].set(jnp.asarray(info, jnp.float32)),
+        n_edges=jnp.minimum(e + 1, st.edge_i.shape[0]),
+    )
+
+
+def add_keyframe(
+    cfg: PoseGraphConfig, st: PoseGraphState, pose: Array, scan: LaserScan
+) -> PoseGraphState:
+    """Unconditionally append a keyframe + odometric chain edge (callers gate
+    with should_add_keyframe). Fixed shapes; silently saturates at capacity."""
+    k = jnp.minimum(st.n_kf, cfg.max_keyframes - 1)
+    new = st.replace(
+        kf_poses=st.kf_poses.at[k].set(pose),
+        kf_scans=jax.tree.map(
+            lambda buf, s: buf.at[k].set(s), st.kf_scans, scan
+        ),
+        n_kf=jnp.minimum(st.n_kf + 1, cfg.max_keyframes),
+    )
+    has_prev = st.last_kf >= 0
+    prev = jnp.maximum(st.last_kf, 0)
+    delta = between(st.kf_poses[prev], pose)
+    new = jax.lax.cond(
+        has_prev,
+        lambda s: _append_edge(s, prev, k, delta, cfg.odom_info),
+        lambda s: s,
+        new,
+    )
+    return new.replace(last_kf=k)
+
+
+# --- loop closure -----------------------------------------------------------
+
+
+def _render_local_map(cfg: PoseGraphConfig, model, kf_pose: Array, kf_scan: LaserScan):
+    n = cfg.local_map_size
+    gm = gridlib.GridMap(
+        cells=gridlib.make_grid_map(model, n, n, cfg.local_map_scale).cells,
+        origin=kf_pose[:2] - n * cfg.local_map_scale / 2.0,
+        scale=cfg.local_map_scale,
+    )
+    return raycast.insert_scan(
+        gm, model, kf_pose, kf_scan, raycast.BeamConfig(wall_blur=True)
+    )
+
+
+def detect_loops(
+    cfg: PoseGraphConfig, model, st: PoseGraphState, scan: LaserScan, pose: Array
+) -> PoseGraphState:
+    """Match the newest keyframe's scan against up to ``max_candidates`` old
+    keyframes; append accepted constraints. One vmap dispatch, masked."""
+    kf_idx = st.last_kf
+    idxs = jnp.arange(cfg.max_keyframes)
+    dist = jnp.linalg.norm(st.kf_poses[:, :2] - pose[None, :2], axis=-1)
+    ok = (
+        (idxs < st.n_kf)
+        & (idxs <= kf_idx - cfg.min_index_gap)
+        & (dist < cfg.loop_radius)
+    )
+    # take the closest max_candidates candidates
+    order = jnp.argsort(jnp.where(ok, dist, jnp.inf))
+    cand = order[: cfg.max_candidates]
+    cand_ok = ok[cand]
+
+    def match_cand(ci):
+        kf_pose = st.kf_poses[ci]
+        kf_scan = jax.tree.map(lambda a: a[ci], st.kf_scans)
+        gm = _render_local_map(cfg, model, kf_pose, kf_scan)
+        view = scoring.MapView.of(gm, model)
+        res = matcherslib.brute_force_match(
+            view, scan, pose, None, cfg.loop_matcher
+        )
+        return res.pose, res.prob
+
+    poses_m, probs = jax.vmap(match_cand)(cand)
+    accept = cand_ok & (probs > cfg.min_prob)
+
+    def add_one(i, s):
+        def do(s):
+            delta = between(s.kf_poses[cand[i]], poses_m[i])
+            return _append_edge(s, cand[i], kf_idx, delta, cfg.loop_info)
+
+        return jax.lax.cond(accept[i], do, lambda s: s, s)
+
+    return jax.lax.fori_loop(0, cfg.max_candidates, add_one, st), accept.sum()
+
+
+# --- Gauss-Newton solve -----------------------------------------------------
+
+
+def _edge_residual_jac(pi: Array, pj: Array, z: Array):
+    """Residual (3,) and Jacobians (3,3),(3,3) wrt pose i and j."""
+    c, s = jnp.cos(pi[2]), jnp.sin(pi[2])
+    rt = jnp.array([[c, s], [-s, c]])  # R(th_i)^T
+    dt = pj[:2] - pi[:2]
+    et = rt @ dt - z[:2]
+    eth = wrap_angle(pj[2] - pi[2] - z[2])
+    e = jnp.concatenate([et, eth[None]])
+    drt = jnp.array([[-s, c], [-c, -s]])  # d(R^T)/dth
+    ji = jnp.zeros((3, 3)).at[:2, :2].set(-rt).at[:2, 2].set(drt @ dt).at[2, 2].set(-1.0)
+    jj = jnp.zeros((3, 3)).at[:2, :2].set(rt).at[2, 2].set(1.0)
+    return e, ji, jj
+
+
+def optimize(cfg: PoseGraphConfig, st: PoseGraphState) -> PoseGraphState:
+    """Batched Gauss-Newton over all edges; dense [3K, 3K] normal equations.
+
+    Unused keyframe DOFs and keyframe 0 (gauge anchor) get identity rows.
+    """
+    kmax = cfg.max_keyframes
+    n_dof = 3 * kmax
+    e_idx = jnp.arange(st.edge_i.shape[0])
+    e_mask = (e_idx < st.n_edges).astype(jnp.float32)
+
+    def gn_iter(_, poses):
+        def per_edge(i, j, z, info, m):
+            e, ji, jj = _edge_residual_jac(poses[i], poses[j], z)
+            w = info * m  # (3,) diagonal information, masked
+            hii = ji.T * w @ ji
+            hij = ji.T * w @ jj
+            hjj = jj.T * w @ jj
+            bi = ji.T @ (w * e)
+            bj = jj.T @ (w * e)
+            return hii, hij, hjj, bi, bj
+
+        hii, hij, hjj, bi, bj = jax.vmap(per_edge)(
+            st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask
+        )
+        h = jnp.zeros((n_dof, n_dof))
+        b = jnp.zeros((n_dof,))
+        r3 = jnp.arange(3)
+        ri = (3 * st.edge_i)[:, None] + r3[None, :]  # (E, 3)
+        rj = (3 * st.edge_j)[:, None] + r3[None, :]
+
+        def blocks(h, rows, cols, vals):
+            return h.at[rows[:, :, None], cols[:, None, :]].add(vals)
+
+        h = blocks(h, ri, ri, hii)
+        h = blocks(h, ri, rj, hij)
+        h = blocks(h, rj, ri, jnp.swapaxes(hij, 1, 2))
+        h = blocks(h, rj, rj, hjj)
+        b = b.at[ri].add(bi).at[rj].add(bj)
+
+        # mask: unused keyframes + gauge anchor (kf 0) -> identity row, 0 rhs
+        kf_used = (jnp.arange(kmax) < st.n_kf) & (jnp.arange(kmax) > 0)
+        dof_used = jnp.repeat(kf_used, 3)
+        h = jnp.where(dof_used[:, None] & dof_used[None, :], h, 0.0)
+        h = h + jnp.diag(jnp.where(dof_used, cfg.gn_damping, 1.0))
+        b = jnp.where(dof_used, b, 0.0)
+
+        dx = jnp.linalg.solve(h, -b).reshape(kmax, 3)
+        new = poses + dx
+        return new.at[:, 2].set(wrap_angle(new[:, 2]))
+
+    poses = jax.lax.fori_loop(0, cfg.gn_iterations, gn_iter, st.kf_poses)
+    return st.replace(kf_poses=poses)
+
+
+def graph_error(st: PoseGraphState) -> Array:
+    """Total weighted squared residual over active edges (diagnostic)."""
+    e_mask = (jnp.arange(st.edge_i.shape[0]) < st.n_edges).astype(jnp.float32)
+
+    def per_edge(i, j, z, info, m):
+        e, _, _ = _edge_residual_jac(st.kf_poses[i], st.kf_poses[j], z)
+        return (info * e * e).sum() * m
+
+    return jax.vmap(per_edge)(
+        st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask
+    ).sum()
+
+
+def schur_solve(h: Array, b: Array, split: int) -> Array:
+    """Solve H x = b by Schur-complement elimination of the trailing block.
+
+    ``split`` is static: H = [[A, B], [B^T, C]] with A = h[:s, :s].
+    The reduced system (A - B C^-1 B^T) x1 = b1 - B C^-1 b2 is solved first —
+    this is the reduction parallel/dist_ba.py distributes over hosts.
+    """
+    a = h[:split, :split]
+    bb = h[:split, split:]
+    c = h[split:, split:]
+    b1, b2 = b[:split], b[split:]
+    c_inv_bt = jnp.linalg.solve(c, bb.T)
+    c_inv_b2 = jnp.linalg.solve(c, b2)
+    s = a - bb @ c_inv_bt
+    x1 = jnp.linalg.solve(s, b1 - bb @ c_inv_b2)
+    x2 = c_inv_b2 - c_inv_bt @ x1
+    return jnp.concatenate([x1, x2])
+
+
+def regenerate_map(
+    cfg: PoseGraphConfig, model, st: PoseGraphState, gm: gridlib.GridMap,
+    beam: raycast.BeamConfig,
+) -> gridlib.GridMap:
+    """Rebuild a map by inserting every stored keyframe scan at its
+    optimized pose (the post-loop-closure map regeneration pass)."""
+
+    def body(i, g):
+        scan = jax.tree.map(lambda a: a[i], st.kf_scans)
+        scan = scan.replace(valid=scan.valid & (i < st.n_kf))
+        return raycast.insert_scan(g, model, st.kf_poses[i], scan, beam)
+
+    return jax.lax.fori_loop(0, cfg.max_keyframes, body, gm)

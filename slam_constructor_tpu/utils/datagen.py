@@ -93,6 +93,29 @@ def corridor_trajectory(n_steps: int = 60, y: float = -1.6) -> Array:
     return jnp.asarray(poses, jnp.float32)
 
 
+def rectangle_trajectory(
+    corners=((-5.6, -1.6), (4.8, -1.6), (4.8, 1.6), (-5.6, 1.6)),
+    step: float = 0.25,
+    close: bool = True,
+) -> Array:
+    """Piecewise-linear loop through ``corners`` (default: a lap around the
+    cecum world's inner block), heading along each segment. Good for
+    loop-closure tests: the path returns to its start."""
+    pts = [np.asarray(c, np.float64) for c in corners]
+    if close:
+        pts.append(pts[0])
+    poses = []
+    for a, b in zip(pts[:-1], pts[1:]):
+        seg = b - a
+        length = float(np.hypot(*seg))
+        heading = float(np.arctan2(seg[1], seg[0]))
+        n = max(1, int(round(length / step)))
+        for t in np.linspace(0, 1, n, endpoint=False):
+            p = a + t * seg
+            poses.append((p[0], p[1], heading))
+    return jnp.asarray(np.asarray(poses), jnp.float32)
+
+
 def loop_trajectory(
     n_steps: int = 120, radius: float = 3.0, center=(0.0, 0.0)
 ) -> Array:

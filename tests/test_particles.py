@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import gmapping
+from slam_constructor_tpu.ops import resample
+from slam_constructor_tpu.utils import datagen, evaluate
+
+
+def test_normalize_log_weights():
+    logw = jnp.array([0.0, 1.0, 2.0])
+    n = resample.normalize_log_weights(logw)
+    assert float(jnp.exp(n).sum()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_effective_sample_size_limits():
+    uniform = jnp.zeros(10)
+    assert float(resample.effective_sample_size(uniform)) == pytest.approx(10.0, abs=1e-3)
+    degenerate = jnp.array([0.0] + [-100.0] * 9)
+    assert float(resample.effective_sample_size(degenerate)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_systematic_resample_proportional():
+    logw = jnp.log(jnp.array([0.5, 0.25, 0.125, 0.125]))
+    idx = resample.systematic_resample(jax.random.PRNGKey(0), logw, 1000)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 1000
+    np.testing.assert_allclose(counts, [0.5, 0.25, 0.125, 0.125], atol=0.01)
+
+
+def test_maybe_resample_skips_when_healthy():
+    logw = jnp.zeros(8)  # uniform -> Neff = 8
+    idx, new_logw, did = resample.maybe_resample(jax.random.PRNGKey(0), logw, 0.5)
+    assert not bool(did)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(8))
+
+
+def test_maybe_resample_fires_when_degenerate():
+    logw = jnp.array([0.0] + [-50.0] * 7)
+    idx, new_logw, did = resample.maybe_resample(jax.random.PRNGKey(0), logw, 0.5)
+    assert bool(did)
+    assert np.asarray(idx).max() == 0  # everyone resampled to particle 0
+    assert float(jnp.exp(new_logw).sum()) == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(20)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(11),
+        odom_noise_xy=0.02, odom_noise_theta=0.01,
+    )
+    return scans, odom, gt
+
+
+def test_gmapping_tracks(sequence):
+    scans, odom, gt = sequence
+    cfg = gmapping.GMappingConfig(n_particles=8, map_height=192, map_width=192)
+    e = gmapping.GMappingEngine(cfg)
+    e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (8, 3)))
+    traj, neffs = e.run(scans, odom)
+    err = float(evaluate.ate(traj, gt, align=False))
+    assert err < 0.2, f"ATE {err}"
+    # weights stay normalized and Neff within [1, P]
+    assert float(jnp.exp(e.state.log_weights).sum()) == pytest.approx(1.0, abs=1e-4)
+    assert 1.0 <= float(neffs.min()) <= 8.01
+
+
+def test_gmapping_resample_copies_maps():
+    cfg = gmapping.GMappingConfig(n_particles=4, map_height=64, map_width=64)
+    st = gmapping.init_state(cfg)
+    # make particle 2 dominant and mark its map
+    st = st.replace(
+        log_weights=jnp.array([-50.0, -50.0, 0.0, -50.0]),
+        gm=st.gm.replace(cells=st.gm.cells.at[2, 5, 5, 0].set(0.9)),
+    )
+    idx, logw, did = resample.maybe_resample(jax.random.PRNGKey(1), st.log_weights, 0.5)
+    gm = jax.tree.map(lambda a: a[idx], st.gm)
+    assert bool(did)
+    np.testing.assert_allclose(np.asarray(gm.cells[:, 5, 5, 0]), 0.9)
+
+
+def test_gmapping_jit_step(sequence):
+    scans, odom, gt = sequence
+    cfg = gmapping.GMappingConfig(n_particles=4, map_height=96, map_width=96)
+    st = gmapping.init_state(cfg)
+    s0 = jax.tree.map(lambda a: a[0], scans)
+    st2 = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(st, s0, odom[0])
+    assert st2.poses.shape == (4, 3)
+    assert int(st2.step) == 1

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import posegraph as pg
+from slam_constructor_tpu.ops import cells, scan as scanlib
+from slam_constructor_tpu.ops.geometry import between, compose, wrap_angle
+
+
+def make_scan(n=32):
+    return scanlib.LaserScan(
+        ranges=jnp.ones((n,)), bearings=jnp.zeros((n,)), valid=jnp.ones((n,), bool)
+    )
+
+
+CFG = pg.PoseGraphConfig(max_keyframes=32, max_edges=64, gn_iterations=20)
+
+
+def test_keyframe_gating():
+    st = pg.init_state(CFG, 32)
+    assert bool(pg.should_add_keyframe(CFG, st, jnp.zeros(3)))  # first always
+    st = pg.add_keyframe(CFG, st, jnp.zeros(3), make_scan())
+    assert not bool(pg.should_add_keyframe(CFG, st, jnp.array([0.1, 0.0, 0.0])))
+    assert bool(pg.should_add_keyframe(CFG, st, jnp.array([0.6, 0.0, 0.0])))
+
+
+def test_chain_edges():
+    st = pg.init_state(CFG, 32)
+    poses = [jnp.array([float(i), 0.0, 0.0]) for i in range(4)]
+    for p in poses:
+        st = pg.add_keyframe(CFG, st, p, make_scan())
+    assert int(st.n_kf) == 4
+    assert int(st.n_edges) == 3
+    np.testing.assert_array_equal(np.asarray(st.edge_i[:3]), [0, 1, 2])
+    np.testing.assert_allclose(np.asarray(st.edge_delta[0]), [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def _circle_graph(n=12, radius=2.0, drift=0.05, seed=0):
+    """Ground-truth circle; estimates accumulate odometric drift; one loop
+    closure edge ties last back to first."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt = np.stack(
+        [radius * np.cos(angles), radius * np.sin(angles), wrap_angle(jnp.asarray(angles + np.pi / 2))],
+        axis=-1,
+    ).astype(np.float32)
+
+    st = pg.init_state(CFG, 8)
+    est = gt[0]
+    st = pg.add_keyframe(CFG, st, jnp.asarray(est), make_scan(8))
+    for i in range(1, n):
+        true_delta = np.asarray(between(jnp.asarray(gt[i - 1]), jnp.asarray(gt[i])))
+        noisy = true_delta + rng.normal(0, drift, 3).astype(np.float32)
+        est = np.asarray(compose(jnp.asarray(est), jnp.asarray(noisy)))
+        # keyframe with the *noisy* accumulated estimate; chain edge stores
+        # the noisy measurement automatically (between successive estimates)
+        st = pg.add_keyframe(CFG, st, jnp.asarray(est), make_scan(8))
+    # loop-closure measurement: true relative pose last -> first
+    loop_delta = between(jnp.asarray(gt[-1]), jnp.asarray(gt[0]))
+    st = pg._append_edge(st, n - 1, 0, loop_delta, CFG.loop_info)
+    return st, jnp.asarray(gt)
+
+
+def test_gauss_newton_reduces_error():
+    st, gt = _circle_graph()
+    e0 = float(pg.graph_error(st))
+    st2 = pg.optimize(CFG, st)
+    e1 = float(pg.graph_error(st2))
+    assert e1 < e0 * 0.1, (e0, e1)
+
+
+def test_gauss_newton_closes_loop():
+    st, gt = _circle_graph(drift=0.08, seed=3)
+    n = 12
+    gap_before = float(jnp.linalg.norm(st.kf_poses[n - 1, :2] - gt[n - 1, :2]))
+    st2 = pg.optimize(CFG, st)
+    gap_after = float(jnp.linalg.norm(st2.kf_poses[n - 1, :2] - gt[n - 1, :2]))
+    assert gap_after < gap_before * 0.5
+    # anchor unchanged
+    np.testing.assert_allclose(np.asarray(st2.kf_poses[0]), np.asarray(gt[0]), atol=1e-5)
+
+
+def test_optimize_is_jittable():
+    st, _ = _circle_graph()
+    st2 = jax.jit(lambda s: pg.optimize(CFG, s))(st)
+    assert st2.kf_poses.shape == st.kf_poses.shape
+
+
+def test_schur_solve_matches_direct():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(10, 10))
+    h = jnp.asarray(a @ a.T + 10 * np.eye(10), jnp.float32)
+    b = jnp.asarray(rng.normal(size=10), jnp.float32)
+    x_direct = jnp.linalg.solve(h, b)
+    x_schur = pg.schur_solve(h, b, split=4)
+    np.testing.assert_allclose(np.asarray(x_schur), np.asarray(x_direct), atol=1e-3)
+
+
+def test_residual_zero_at_truth():
+    pi = jnp.array([1.0, 2.0, 0.5])
+    pj = jnp.array([2.0, 2.5, 1.0])
+    z = between(pi, pj)
+    e, ji, jj = pg._edge_residual_jac(pi, pj, z)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-6)
+    # jacobians match finite differences
+    eps = 1e-4
+    for k in range(3):
+        d = jnp.zeros(3).at[k].set(eps)
+        e2, _, _ = pg._edge_residual_jac(pi + d, pj, z)
+        np.testing.assert_allclose(np.asarray((e2 - e) / eps), np.asarray(ji[:, k]), atol=1e-2)
+        e3, _, _ = pg._edge_residual_jac(pi, pj + d, z)
+        np.testing.assert_allclose(np.asarray((e3 - e) / eps), np.asarray(jj[:, k]), atol=1e-2)
