@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     geometry,
     grid,
     matchers,
+    m3rsm,
     raycast,
     scan,
     scoring,

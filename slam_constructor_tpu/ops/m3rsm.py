@@ -1,0 +1,183 @@
+"""M3RSM: many-to-many multi-resolution scan matching (Olson 2015).
+
+Parity targets (SURVEY.md §2.3/§2.4/§3.5 [unverified paths]):
+- ``RescalableCachingGridMap`` (``src/core/maps/rescalable_caching_grid_map.h``)
+  — the coarse-level-caches-max-of-fine pyramid -> ``build_pyramid`` via
+  repeated 2x2 ``lax.reduce_window`` max.
+- ``M3RSMEngine`` + ``SearchRect`` heap (``src/core/scan_matchers/
+  m3rsm_engine.h``) — serial best-first branch-and-bound.
+
+Re-design: the serial heap is replaced by a *level-synchronous bounded
+frontier*: at each pyramid level ALL surviving translation rects (for all
+rotations) are scored in one batched gather, then the top ``beam_width`` by
+upper bound are expanded into their 4 children at the next finer level.
+Scoring a rect against level-l max-pooled occupancy is an admissible upper
+bound for every translation inside the rect (Olson's key invariant), so with
+a sufficient beam width the search is exhaustive-equivalent — and every
+iteration is a fixed-shape [K, R] gather instead of pointer chasing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import grid as gridlib
+from . import scan as scanlib
+from .geometry import wrap_angle
+from .matchers import MatchResult
+from .scoring import MapView, ScoringConfig
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class M3RSMConfig:
+    #: search window half-extents (meters / radians)
+    half_x: float = 1.0
+    half_y: float = 1.0
+    half_theta: float = 0.3
+    n_theta: int = 17
+    #: rects kept per level (the bounded frontier width)
+    beam_width: int = 256
+    #: number of pyramid levels above the finest (level 0)
+    levels: int = 5
+    scoring: ScoringConfig = ScoringConfig()
+
+
+def build_pyramid(view: MapView, levels: int, unknown_prob: float) -> tuple:
+    """Max-occupancy pyramid over the scoring value plane.
+
+    Level 0 is ``where(known, occ, unknown_prob)``; level l+1 caches the max
+    of 2x2 blocks of level l (the RescalableCachingGridMap contract). Planes
+    are padded with ``unknown_prob`` so out-of-window maxes stay admissible
+    vs. the exact scorer's out-of-map handling.
+    """
+    v = jnp.where(view.known, view.occ, unknown_prob)
+    planes = [v]
+    for _ in range(levels):
+        h, w = planes[-1].shape
+        pad_h, pad_w = h % 2, w % 2
+        p = jnp.pad(
+            planes[-1], ((0, pad_h), (0, pad_w)), constant_values=unknown_prob
+        )
+        planes.append(
+            jax.lax.reduce_window(
+                p, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
+            )
+        )
+    return tuple(planes)
+
+
+def _score_level(
+    plane: Array,
+    c0: Array,  # i32[n_theta, R, 2] finest-level endpoint cells (row, col)
+    cands: Array,  # i32[K, 3] = (theta_idx, ty_cells, tx_cells) rect corners
+    level: int,
+    mask: Array,  # f32[R] beam weights
+    unknown_prob: float,
+) -> Array:
+    h, w = plane.shape
+    base = c0[cands[:, 0]]  # [K, R, 2]
+    off = cands[:, None, 1:]  # [K, 1, 2] (row, col) translation in cells
+    fine = base + off  # finest-level cells at the rect corner
+    # a rect spans translations [t, t + 2^level), so each endpoint sweeps a
+    # 2^level-cell interval per axis that can straddle TWO coarse cells;
+    # the admissible upper bound is the max over that 2x2 coarse footprint
+    e = (1 << level) - 1
+    corners = jnp.array(
+        [[0, 0], [0, e], [e, 0], [e, e]], jnp.int32
+    )  # [4, 2]
+    idx = (fine[:, :, None, :] + corners[None, None, :, :]) >> level
+    vals = gridlib.gather_plane(plane, idx, unknown_prob, h, w)  # [K, R, 4]
+    vals = vals.max(-1)
+    return (vals * mask[None, :]).sum(-1) / jnp.maximum(mask.sum(), 1e-9)
+
+
+def m3rsm_match(
+    view: MapView,
+    scan: scanlib.LaserScan,
+    init_pose: Array,
+    key: Array | None = None,
+    cfg: M3RSMConfig = M3RSMConfig(),
+    point_weights: Array | None = None,
+) -> MatchResult:
+    """Global match over the (x, y, theta) window around ``init_pose``."""
+    del key
+    ucfg = cfg.scoring
+    pyramid = build_pyramid(view, cfg.levels, ucfg.unknown_prob)
+
+    # rotated endpoint cells at zero translation, for every candidate theta
+    thetas = jnp.linspace(-cfg.half_theta, cfg.half_theta, cfg.n_theta)
+    pts = scanlib.scan_points(scan)  # [R, 2]
+    ang = init_pose[2] + thetas  # [T]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    ex = init_pose[0] + c[:, None] * pts[None, :, 0] - s[:, None] * pts[None, :, 1]
+    ey = init_pose[1] + s[:, None] * pts[None, :, 0] + c[:, None] * pts[None, :, 1]
+    rel_x = (ex - view.origin[0]) / view.scale
+    rel_y = (ey - view.origin[1]) / view.scale
+    c0 = jnp.stack(
+        [jnp.floor(rel_y).astype(jnp.int32), jnp.floor(rel_x).astype(jnp.int32)],
+        axis=-1,
+    )  # [T, R, 2] (row, col)
+
+    mask = scanlib.subsample_mask(scan, ucfg.stride).astype(jnp.float32)
+    if point_weights is not None:
+        mask = mask * point_weights
+
+    # initial frontier: all aligned rects of size 2^levels covering the window
+    tx_half = int(math.ceil(cfg.half_x / view.scale))
+    ty_half = int(math.ceil(cfg.half_y / view.scale))
+    top = cfg.levels
+    step = 1 << top
+    nx = max(1, math.ceil(2 * tx_half / step))
+    ny = max(1, math.ceil(2 * ty_half / step))
+    txs = -tx_half + step * jnp.arange(nx)
+    tys = -ty_half + step * jnp.arange(ny)
+    tt, yy, xx = jnp.meshgrid(
+        jnp.arange(cfg.n_theta), tys, txs, indexing="ij"
+    )
+    cands = jnp.stack(
+        [tt.ravel(), yy.ravel(), xx.ravel()], axis=-1
+    ).astype(jnp.int32)  # [K0, 3]
+
+    scores = _score_level(
+        pyramid[top], c0, cands, top, mask, ucfg.unknown_prob
+    )
+
+    m = cfg.beam_width
+    for level in range(top - 1, -1, -1):
+        # keep top-m rects, expand each into 4 children at this level
+        k = scores.shape[0]
+        take = min(m, k)
+        top_scores, top_idx = jax.lax.top_k(scores, take)
+        parents = cands[top_idx]  # [take, 3]
+        child = 1 << level
+        offs = jnp.array(
+            [[0, 0, 0], [0, child, 0], [0, 0, child], [0, child, child]],
+            jnp.int32,
+        )
+        cands = (parents[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+        scores = _score_level(
+            pyramid[level], c0, cands, level, mask, ucfg.unknown_prob
+        )
+
+    best = jnp.argmax(scores)
+    t_idx, ty, tx = cands[best, 0], cands[best, 1], cands[best, 2]
+    pose = jnp.stack(
+        [
+            init_pose[0] + tx.astype(jnp.float32) * view.scale,
+            init_pose[1] + ty.astype(jnp.float32) * view.scale,
+            wrap_angle(init_pose[2] + thetas[t_idx]),
+        ]
+    )
+    return MatchResult(pose=pose, prob=scores[best])
+
+
+# register with the matcher registry (config-selectable like the others)
+from . import matchers as _matchers  # noqa: E402
+
+_matchers.MATCHERS["m3rsm"] = (M3RSMConfig, m3rsm_match)

@@ -43,6 +43,11 @@ class ScoringConfig:
     stride: int = 1
     #: side of the endpoint square for the overlap reducer, in cells
     overlap_extent: float = 1.0
+    #: 'auto' | 'matmul' | 'gather'. TPU random gather runs ~10 cycles per
+    #: element; the matmul path samples the plane with separable one-hot /
+    #: weighted one-hot matrix products on the MXU instead (exact for
+    #: obstacle/mean/overlap; 'max' is not separable and keeps the gather).
+    impl: str = "auto"
 
 
 @struct.dataclass
@@ -73,6 +78,83 @@ def _window_offsets(radius: int) -> Array:
     return jnp.stack(jnp.meshgrid(r, r, indexing="ij"), axis=-1).reshape(-1, 2)
 
 
+# --- MXU sampling path ------------------------------------------------------
+#
+# Sampling N plane values is recast as  val = (A @ plane) . B  where A
+# [N, H] and B [N, W] hold per-axis selection weights (a one-hot row for
+# point sampling, a box for mean windows, fractional cell-overlap lengths
+# for the area/bilinear reducer). The footprints are separable, so the 2D
+# weight is the outer product a_r * b_c — one [N, H] x [H, W] matmul plus an
+# elementwise row dot replaces the random gather. Out-of-map weight mass is
+# accounted by coverage = sum(a) * sum(b) and backfilled with unknown_prob,
+# matching the gather path's out-of-bounds semantics bit-for-bit in fp32.
+
+
+def _axis_weights_point(pos: Array, n: int) -> Array:
+    """One-hot rows: weight 1 at floor(pos) if inside [0, n)."""
+    i = jnp.floor(pos).astype(jnp.int32)
+    iota = jnp.arange(n)
+    return ((i[:, None] == iota[None, :])).astype(jnp.float32)
+
+
+def _axis_weights_box(pos: Array, n: int, radius: int) -> Array:
+    """Box rows: weight 1 at floor(pos)-r .. floor(pos)+r, clipped to bounds."""
+    i = jnp.floor(pos).astype(jnp.int32)
+    iota = jnp.arange(n)
+    d = iota[None, :] - i[:, None]
+    return ((d >= -radius) & (d <= radius)).astype(jnp.float32)
+
+
+def _axis_weights_overlap(pos: Array, n: int, extent: float) -> Array:
+    """Cell-overlap lengths of the interval [pos-e/2, pos+e/2) per axis."""
+    iota = jnp.arange(n, dtype=jnp.float32)
+    lo = jnp.maximum(iota[None, :], pos[:, None] - extent / 2.0)
+    hi = jnp.minimum(iota[None, :] + 1.0, pos[:, None] + extent / 2.0)
+    return jnp.clip(hi - lo, 0.0)
+
+
+def _sample_matmul(
+    v: Array, rel: Array, cfg: "ScoringConfig"
+) -> Array:
+    """Per-point probabilities [N] for flat fractional coords rel [N, 2]."""
+    h, w = v.shape
+    x, y = rel[:, 0], rel[:, 1]
+    if cfg.reducer == "obstacle":
+        a = _axis_weights_point(y, h)
+        b = _axis_weights_point(x, w)
+        total = 1.0
+    elif cfg.reducer == "mean":
+        a = _axis_weights_box(y, h, cfg.window)
+        b = _axis_weights_box(x, w, cfg.window)
+        total = float((2 * cfg.window + 1) ** 2)
+    elif cfg.reducer == "overlap":
+        a = _axis_weights_overlap(y, h, cfg.overlap_extent)
+        b = _axis_weights_overlap(x, w, cfg.overlap_extent)
+        total = float(cfg.overlap_extent**2)
+    else:
+        raise ValueError(f"no matmul path for reducer {cfg.reducer!r}")
+    m = jnp.dot(a, v, preferred_element_type=jnp.float32)  # [N, W]
+    ssum = (m * b).sum(-1)
+    coverage = a.sum(-1) * b.sum(-1)
+    val = ssum + (total - coverage) * cfg.unknown_prob
+    return val / total
+
+
+_MATMUL_CHUNK = 8192
+
+
+def _sample_matmul_chunked(v: Array, rel: Array, cfg: "ScoringConfig") -> Array:
+    """Chunked wrapper bounding the [N, H] one-hot working set."""
+    n = rel.shape[0]
+    if n <= _MATMUL_CHUNK:
+        return _sample_matmul(v, rel, cfg)
+    pad = (-n) % _MATMUL_CHUNK
+    rel_p = jnp.concatenate([rel, jnp.zeros((pad, 2), rel.dtype)], 0)
+    chunks = rel_p.reshape(-1, _MATMUL_CHUNK, 2)
+    out = jax.lax.map(lambda r: _sample_matmul(v, r, cfg), chunks)
+    return out.reshape(-1)[:n]
+
+
 def score_poses(
     view: MapView,
     scan: scanlib.LaserScan,
@@ -91,6 +173,20 @@ def score_poses(
     pts = scanlib.scan_points(scan)  # [R, 2] sensor frame
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords
+
+    use_matmul = cfg.impl == "matmul" or (
+        cfg.impl == "auto"
+        and cfg.reducer in ("obstacle", "mean", "overlap")
+        # the MXU sampling path wins on TPU; CPU/GPU gathers are cheap
+        and jax.default_backend() == "tpu"
+    )
+    if use_matmul:
+        k, r = rel.shape[:2]
+        v = jnp.where(view.known, view.occ, cfg.unknown_prob)
+        point_p = _sample_matmul_chunked(v, rel.reshape(k * r, 2), cfg)
+        point_p = point_p.reshape(k, r)
+        return _weighted_mean(point_p, scan, cfg, point_weights)
+
     base = jnp.floor(rel).astype(jnp.int32)  # [K, R, 2] (col-major: x, y)
     # convert to (row, col)
     base_rc = jnp.stack([base[..., 1], base[..., 0]], axis=-1)
@@ -131,6 +227,10 @@ def score_poses(
     else:
         raise ValueError(f"unknown reducer {cfg.reducer!r}")
 
+    return _weighted_mean(point_p, scan, cfg, point_weights)
+
+
+def _weighted_mean(point_p, scan, cfg, point_weights):
     mask = scanlib.subsample_mask(scan, cfg.stride).astype(jnp.float32)
     if point_weights is not None:
         mask = mask * point_weights

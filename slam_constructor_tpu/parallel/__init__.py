@@ -1,0 +1,1 @@
+from . import dist_ba, halo, mesh, particles  # noqa: F401

@@ -1,0 +1,117 @@
+"""Spatially-sharded map scoring with halo exchange (the TP axis of
+SURVEY.md §2.9; BASELINE: "halo exchange for scan matching near block
+boundaries").
+
+The occupancy value plane is sharded row-wise over the mesh axis: device d
+owns rows ``[d*Hl, (d+1)*Hl)``. Scoring a candidate pose needs a window of
+``r`` cells around each scan endpoint, so endpoints within ``r`` rows of a
+shard boundary read neighbor-owned cells. Instead of gathering the whole
+plane, each device exchanges ``halo`` boundary rows with its two ring
+neighbors via ``ppermute`` (ICI neighbor traffic only), scores the
+endpoints *it owns* against its extended local block, and a ``psum``
+combines the per-point partial sums — bitwise-equal to the unsharded
+scorer for any window radius <= halo.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import scan as scanlib
+from ..ops.geometry import apply_pose
+from ..ops.scoring import MapView, ScoringConfig, _window_offsets
+
+Array = jax.Array
+
+
+def _exchange_rows(block: Array, halo: int, axis: str) -> Array:
+    """Append ``halo`` rows from the ring neighbors above and below.
+
+    block: f32[Hl, W] -> f32[Hl + 2*halo, W]. Edge devices receive the
+    wrap-around neighbor's rows; callers mask them out via global row
+    bounds, so ring (vs. open-chain) wiring never changes results.
+    """
+    n = jax.lax.axis_size(axis)
+    up = [(i, (i + 1) % n) for i in range(n)]  # send to next (rows below top)
+    down = [(i, (i - 1) % n) for i in range(n)]
+    # my top rows go to the device after me (they become its bottom halo)
+    top_rows = block[-halo:, :]
+    bot_rows = block[:halo, :]
+    from_below = jax.lax.ppermute(top_rows, axis, up)  # rows of d-1's top
+    from_above = jax.lax.ppermute(bot_rows, axis, down)  # rows of d+1's bottom
+    return jnp.concatenate([from_below, block, from_above], axis=0)
+
+
+def sharded_score_poses(
+    view: MapView,
+    scan: scanlib.LaserScan,
+    poses: Array,
+    cfg: ScoringConfig,
+    mesh: Mesh,
+    axis: str = "chips",
+    halo: int | None = None,
+) -> Array:
+    """Row-sharded equivalent of ``scoring.score_poses`` (obstacle / max /
+    mean reducers). The plane is split over ``axis``; each device scores the
+    endpoints whose window rows it owns and psums partial results."""
+    n_dev = mesh.shape[axis]
+    h, w = view.occ.shape
+    assert h % n_dev == 0, "plane rows must divide the mesh axis"
+    h_local = h // n_dev
+    r = 0 if cfg.reducer == "obstacle" else cfg.window
+    halo = halo if halo is not None else max(r, 1)
+    offs = _window_offsets(cfg.window) if cfg.reducer != "obstacle" else jnp.zeros((1, 2), jnp.int32)
+
+    val_plane = jnp.where(view.known, view.occ, cfg.unknown_prob)
+    mask = scanlib.subsample_mask(scan, cfg.stride).astype(jnp.float32)
+
+    def kernel(plane_blk, poses_, pts_, mask_):
+        d = jax.lax.axis_index(axis)
+        ext = _exchange_rows(plane_blk, halo, axis)  # [Hl + 2*halo, W]
+        row0 = d * h_local  # global row of plane_blk[0]
+
+        world = apply_pose(poses_[:, None, :], pts_[None, :, :])  # [K, R, 2]
+        rel = (world - view.origin) / view.scale
+        col = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        row = jnp.floor(rel[..., 1]).astype(jnp.int32)
+
+        # ownership: the endpoint's center row belongs to this device; rows
+        # outside the map are assigned to the edge shard by clamping so that
+        # every point is owned exactly once (off-map points must still
+        # contribute unknown_prob, as in the unsharded scorer)
+        row_own = jnp.clip(row, 0, h - 1)
+        own = (row_own >= row0) & (row_own < row0 + h_local)
+
+        wrow = row[..., None] + offs[None, None, :, 0]
+        wcol = col[..., None] + offs[None, None, :, 1]
+        in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
+        lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
+        lcol = jnp.clip(wcol, 0, w - 1)
+        vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
+
+        if cfg.reducer == "max":
+            point_p = vals.max(-1)
+        elif cfg.reducer == "mean":
+            point_p = vals.mean(-1)
+        else:  # obstacle
+            point_p = vals[..., 0]
+
+        contrib = jnp.where(own, point_p * mask_[None, :], 0.0)
+        num = jax.lax.psum(contrib.sum(-1), axis)
+        den = jax.lax.psum(jnp.where(own, mask_[None, :], 0.0).sum(-1), axis)
+        return num / jnp.maximum(den, 1e-9)
+
+    pts = scanlib.scan_points(scan)
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None), P(None), P(None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(val_plane, poses, pts, mask)

@@ -1,0 +1,84 @@
+"""M3RSM correctness vs brute force (reference test strategy — SURVEY.md §4
+tests the M3RSM engine against exhaustive search)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.ops import cells, grid, m3rsm, matchers, raycast, scoring
+from slam_constructor_tpu.utils import datagen
+
+
+@pytest.fixture(scope="module")
+def setup():
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=5, seed=4)
+    bearings = datagen.default_bearings(180)
+    true_pose = jnp.array([0.4, -0.3, 0.2])
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    for dp in [jnp.zeros(3), jnp.array([0.15, 0.1, 0.0])]:
+        p = true_pose + dp
+        sp = raycast.cast_rays(occ, origin, scale, p, bearings)
+        gm = raycast.insert_scan(
+            gm, model, p, sp, raycast.BeamConfig(wall_blur=True)
+        )
+    view = scoring.MapView.of(gm, model)
+    return view, s, true_pose
+
+
+def test_pyramid_max_property(setup):
+    view, _, _ = setup
+    planes = m3rsm.build_pyramid(view, 3, 0.5)
+    assert len(planes) == 4
+    for lo, hi in zip(planes[:-1], planes[1:]):
+        h, w = hi.shape
+        # every coarse cell >= all its children
+        ph = lo.shape[0] + lo.shape[0] % 2
+        pw = lo.shape[1] + lo.shape[1] % 2
+        p = np.full((ph, pw), 0.5, np.float32)
+        p[: lo.shape[0], : lo.shape[1]] = np.asarray(lo)
+        blocks = p.reshape(h, 2, w, 2).max(axis=(1, 3))
+        np.testing.assert_allclose(np.asarray(hi), blocks, atol=1e-6)
+
+
+def test_m3rsm_finds_global_optimum_large_displacement(setup):
+    view, s, true_pose = setup
+    # displacement far outside any local matcher's basin
+    init = true_pose + jnp.array([0.9, -0.8, 0.25])
+    cfg = m3rsm.M3RSMConfig(half_x=1.2, half_y=1.2, half_theta=0.35,
+                            n_theta=15, beam_width=192, levels=4)
+    res = m3rsm.m3rsm_match(view, s, init, None, cfg)
+    err = np.asarray(res.pose - true_pose)
+    assert abs(err[0]) <= 0.15 and abs(err[1]) <= 0.15, err
+    assert abs(err[2]) <= 0.06, err
+
+
+def test_m3rsm_matches_brute_force(setup):
+    """The bounded-frontier search must find a candidate at least as good as
+    exhaustive search over the same grid (admissibility check)."""
+    view, s, true_pose = setup
+    init = true_pose + jnp.array([0.3, 0.2, 0.0])
+    sc = scoring.ScoringConfig(reducer="obstacle")
+    cfg = m3rsm.M3RSMConfig(half_x=0.4, half_y=0.4, half_theta=0.0,
+                            n_theta=1, beam_width=256, levels=3, scoring=sc)
+    res = m3rsm.m3rsm_match(view, s, init, None, cfg)
+
+    bf = matchers.BruteForceConfig(
+        half_x=0.4, half_y=0.4, half_theta=0.0, n_x=9, n_y=9, n_theta=1,
+        scoring=sc,
+    )
+    res_bf = matchers.brute_force_match(view, s, init, None, bf)
+    # m3rsm searches every cell-resolution translation, brute force a coarser
+    # 9x9 grid -> m3rsm's optimum cannot be worse
+    assert float(res.prob) >= float(res_bf.prob) - 1e-5
+
+
+def test_m3rsm_jittable(setup):
+    view, s, true_pose = setup
+    cfg = m3rsm.M3RSMConfig(half_x=0.4, half_y=0.4, n_theta=5, levels=3,
+                            beam_width=64)
+    f = jax.jit(lambda v, sc, p: m3rsm.m3rsm_match(v, sc, p, None, cfg))
+    res = f(view, s, true_pose)
+    assert res.pose.shape == (3,)

@@ -1,0 +1,118 @@
+"""Distributed-equivalence tests on the 8-device CPU mesh (SURVEY.md §4:
+sharded == unsharded golden tests; halo correctness at shard boundaries)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import gmapping, posegraph as pg
+from slam_constructor_tpu.ops import cells, grid, raycast, resample, scoring
+from slam_constructor_tpu.parallel import dist_ba, halo, mesh as meshlib, particles
+from slam_constructor_tpu.utils import datagen
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_psum_normalize_matches_local():
+    m = meshlib.flat_mesh("particles")
+    logw = jax.random.normal(jax.random.PRNGKey(0), (32,)) * 3.0
+    got = particles.psum_normalize_log_weights(logw, m)
+    want = resample.normalize_log_weights(logw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_neff_matches_local():
+    m = meshlib.flat_mesh("particles")
+    logw = jax.random.normal(jax.random.PRNGKey(1), (16,))
+    got = float(particles.sharded_neff(logw, m))
+    want = float(resample.effective_sample_size(logw))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_sharded_gmapping_step_matches_unsharded():
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    poses = datagen.corridor_trajectory(4)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(2)
+    )
+    cfg = gmapping.GMappingConfig(n_particles=8, map_height=96, map_width=96)
+    st = gmapping.init_state(cfg)
+    s0 = jax.tree.map(lambda a: a[0], scans)
+
+    ref = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(
+        st, s0, odom[0]
+    )
+
+    m = meshlib.flat_mesh("particles")
+    step = particles.make_sharded_step(cfg, m)
+    st2 = gmapping.init_state(cfg)
+    st2 = particles.shard_state(st2, m)
+    got = step(st2, s0, odom[0])
+
+    np.testing.assert_allclose(np.asarray(got.poses), np.asarray(ref.poses), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got.log_weights), np.asarray(ref.log_weights), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.gm.cells), np.asarray(ref.gm.cells), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean"])
+def test_halo_sharded_score_matches_unsharded(reducer):
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=6)
+    bearings = datagen.default_bearings(120)
+    true_pose = jnp.array([0.2, 0.1, 0.3])
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    gm = raycast.insert_scan(gm, model, true_pose, s, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+    cfg = scoring.ScoringConfig(reducer=reducer, window=1)
+
+    # candidates deliberately spread so endpoints hit every shard boundary
+    key = jax.random.PRNGKey(3)
+    cand = true_pose[None, :] + jax.random.normal(key, (16, 3)) * jnp.array(
+        [0.5, 2.0, 0.2]
+    )
+    want = scoring.score_poses(view, s, cand, cfg)
+
+    m = meshlib.flat_mesh("chips")
+    got = halo.sharded_score_poses(view, s, cand, cfg, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_distributed_optimize_matches_local():
+    import tests.test_posegraph as tpg
+
+    st, gt = tpg._circle_graph(n=12, drift=0.06, seed=5)
+    cfg = tpg.CFG
+    local = pg.optimize(cfg, st)
+
+    m = meshlib.flat_mesh("hosts")
+    dist = dist_ba.distributed_optimize(cfg, st, m)
+    np.testing.assert_allclose(
+        np.asarray(dist.kf_poses), np.asarray(local.kf_poses), atol=1e-3
+    )
+
+
+def test_distributed_optimize_schur_matches_direct():
+    import tests.test_posegraph as tpg
+
+    st, gt = tpg._circle_graph(n=10, drift=0.05, seed=6)
+    cfg = tpg.CFG
+    m = meshlib.flat_mesh("hosts")
+    direct = dist_ba.distributed_optimize(cfg, st, m)
+    schur = dist_ba.distributed_optimize(cfg, st, m, schur_split=8)
+    np.testing.assert_allclose(
+        np.asarray(schur.kf_poses), np.asarray(direct.kf_poses), atol=1e-3
+    )
+
+
+def test_hosts_chips_mesh():
+    m = meshlib.make_mesh(n_hosts=2, n_chips=4)
+    assert m.shape == {"hosts": 2, "chips": 4}
