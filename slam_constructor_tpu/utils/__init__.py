@@ -1,0 +1,10 @@
+from . import (  # noqa: F401
+    checkpoint,
+    config,
+    datagen,
+    dataset,
+    evaluate,
+    metrics,
+    profiling,
+    trajectory,
+)
