@@ -56,6 +56,13 @@ class EngineConfig:
     min_insert_prob: float = 0.0
     #: weight beams by scan-degeneracy angle histogram (vinySLAM feature)
     use_angle_histogram: bool = False
+    #: 'dense' (PlainGridMap-style) or 'tiled' (block-pool LazyTiledGridMap)
+    map_storage: str = "dense"
+    #: tiled storage: block edge (cells), pool capacity (blocks), and the
+    #: dense scoring window around the robot (tiles per side)
+    tile_block: int = 32
+    tile_capacity: int = 512
+    window_tiles: int = 10
 
 
 @struct.dataclass
@@ -72,9 +79,21 @@ class SlamState:
 def init_state(cfg: EngineConfig, key: Array | None = None) -> SlamState:
     if key is None:
         key = jax.random.PRNGKey(0)
-    gm = gridlib.make_grid_map(
-        cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
-    )
+    if cfg.map_storage == "tiled":
+        from ..ops import blockmap
+
+        gm = blockmap.make_block_map(
+            cfg.cell_model,
+            tiles_h=cfg.map_height // cfg.tile_block,
+            tiles_w=cfg.map_width // cfg.tile_block,
+            capacity=cfg.tile_capacity,
+            block=cfg.tile_block,
+            scale=cfg.map_scale,
+        )
+    else:
+        gm = gridlib.make_grid_map(
+            cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
+        )
     return SlamState(
         gm=gm,
         pose=jnp.zeros(3, jnp.float32),
@@ -107,20 +126,32 @@ def slam_step(
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     prior = compose(state.pose, odom_delta)
     key, sub = jax.random.split(state.key)
-    view = scoring.MapView.of(state.gm, cfg.cell_model)
     pw = _point_weights(cfg, scan)
-    res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
 
-    w_obs, s_obs = raycast.scan_observation_planes(
-        state.gm, res.pose, scan, cfg.beam
-    )
-    do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
-    gm = gridlib.apply_observations(
-        state.gm,
-        cfg.cell_model,
-        jnp.where(do_insert, w_obs, 0.0),
-        jnp.where(do_insert, s_obs, 0.0),
-    )
+    if cfg.map_storage == "tiled":
+        from ..ops import blockmap
+
+        window = blockmap.extract_window(
+            state.gm, cfg.cell_model, prior[:2], cfg.window_tiles, cfg.window_tiles
+        )
+        view = scoring.MapView.of(window, cfg.cell_model)
+        res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+        do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
+        masked = scan.replace(valid=scan.valid & do_insert)
+        gm = blockmap.insert_scan(state.gm, cfg.cell_model, res.pose, masked, cfg.beam)
+    else:
+        view = scoring.MapView.of(state.gm, cfg.cell_model)
+        res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+        w_obs, s_obs = raycast.scan_observation_planes(
+            state.gm, res.pose, scan, cfg.beam
+        )
+        do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
+        gm = gridlib.apply_observations(
+            state.gm,
+            cfg.cell_model,
+            jnp.where(do_insert, w_obs, 0.0),
+            jnp.where(do_insert, s_obs, 0.0),
+        )
     return SlamState(
         gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob
     )
@@ -169,6 +200,10 @@ class Engine:
 
     @property
     def occupancy(self) -> Array:
+        if self.cfg.map_storage == "tiled":
+            from ..ops import blockmap
+
+            return blockmap.occupancy_plane(self.state.gm, self.cfg.cell_model)
         return gridlib.occupancy_plane(self.state.gm, self.cfg.cell_model)
 
     @property

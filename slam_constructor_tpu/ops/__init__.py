@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     resample,
+    blockmap,
     cells,
     geometry,
     grid,

@@ -1,0 +1,116 @@
+"""Block-pool tiled map: allocation, scatter, window extraction, and
+equivalence with the dense map (reference LazyTiledGridMap semantics:
+tiled storage must behave exactly like plain storage)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import engine as eng, tiny
+from slam_constructor_tpu.ops import blockmap, cells, grid, raycast, scoring
+from slam_constructor_tpu.utils import datagen
+
+
+@pytest.fixture
+def model():
+    return cells.BayesAvgCell()
+
+
+def test_allocation(model):
+    bm = blockmap.make_block_map(model, 4, 4, capacity=8, block=16)
+    assert int(bm.n_alloc) == 0
+    needed = jnp.zeros((4, 4), bool).at[1, 2].set(True).at[3, 0].set(True)
+    bm = blockmap.allocate_tiles(bm, needed)
+    assert int(bm.n_alloc) == 2
+    assert int(bm.table[1, 2]) >= 0 and int(bm.table[3, 0]) >= 0
+    # idempotent for already-allocated tiles
+    bm2 = blockmap.allocate_tiles(bm, needed)
+    assert int(bm2.n_alloc) == 2
+
+
+def test_overflow_flag(model):
+    bm = blockmap.make_block_map(model, 4, 4, capacity=2, block=16)
+    bm = blockmap.allocate_tiles(bm, jnp.ones((4, 4), bool))
+    assert bool(bm.overflowed)
+
+
+def test_scatter_and_extract(model):
+    bm = blockmap.make_block_map(model, 4, 4, capacity=8, block=16, scale=0.5)
+    rows = jnp.array([5, 5, 40])
+    cols = jnp.array([7, 7, 33])
+    w = jnp.array([1.0, 1.0, 2.0])
+    s = jnp.array([1.0, 1.0, 0.0])
+    bm = blockmap.scatter_observations(bm, model, rows, cols, w, s)
+    assert int(bm.n_alloc) == 2
+    occ = blockmap.occupancy_plane(bm, model)
+    assert occ.shape == (64, 64)
+    assert float(occ[5, 7]) == pytest.approx(1.0)  # two hits
+    assert float(occ[40, 33]) == pytest.approx(0.0)  # two misses
+    assert float(occ[0, 0]) == pytest.approx(0.5)  # untouched -> init
+
+
+def test_insert_scan_matches_dense(model):
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=9)
+    bearings = datagen.default_bearings(120)
+    pose = jnp.array([0.2, -0.1, 0.3])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    cfg = raycast.BeamConfig(occupancy_estimator="const", wall_blur=False)
+
+    block = 32
+    tiles = 4  # 128x128 cells at 0.1 -> 12.8m, covers the 8m world
+    bm = blockmap.make_block_map(model, tiles, tiles, capacity=32, block=block)
+    bm = blockmap.insert_scan(bm, model, pose, s, cfg)
+
+    gm = grid.make_grid_map(model, tiles * block, tiles * block, 0.1)
+    gm = raycast.insert_scan(gm, model, pose, s, cfg)
+
+    dense_occ = grid.occupancy_plane(gm, model)
+    tiled_occ = blockmap.occupancy_plane(bm, model)
+    np.testing.assert_allclose(
+        np.asarray(tiled_occ), np.asarray(dense_occ), atol=1e-5
+    )
+    # weights agree too
+    full = blockmap.extract_window(bm, model, jnp.zeros(2), tiles, tiles)
+    np.testing.assert_allclose(
+        np.asarray(full.weight), np.asarray(gm.weight), atol=1e-5
+    )
+    # sparse win: only tiles the scan touched were allocated
+    assert int(bm.n_alloc) < tiles * tiles
+
+
+def test_extract_window_origin(model):
+    bm = blockmap.make_block_map(model, 6, 6, capacity=8, block=16, scale=0.25)
+    win = blockmap.extract_window(bm, model, jnp.array([0.0, 0.0]), 2, 2)
+    assert win.cells.shape == (32, 32, 2)
+    # window centered near world origin: its origin + half-extent ~ 0
+    c = np.asarray(win.origin) + 32 * 0.25 / 2
+    assert abs(c[0]) <= 16 * 0.25 and abs(c[1]) <= 16 * 0.25
+
+
+def test_tiled_engine_tracks():
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(15)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(3),
+        odom_noise_xy=0.015, odom_noise_theta=0.008,
+    )
+    cfg = tiny.tiny_config(map_size=256, mc_batch=24, mc_rounds=8)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        map_storage="tiled",
+        tile_block=32,
+        tile_capacity=64,
+        window_tiles=8,
+        beam=raycast.BeamConfig(occupancy_estimator="const", wall_blur=False),
+    )
+    e = eng.Engine(cfg)
+    e.state = e.state.replace(pose=gt[0])
+    traj, probs = e.run(scans, odom)
+    err = np.linalg.norm(np.asarray(traj[:, :2] - gt[:, :2]), axis=1)
+    assert err.max() < 0.25, err.max()
+    assert int(e.state.gm.n_alloc) > 0
+    assert not bool(e.state.gm.overflowed)
