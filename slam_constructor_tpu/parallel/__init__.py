@@ -1,1 +1,1 @@
-from . import dist_ba, halo, mesh, particles  # noqa: F401
+from . import dist_ba, halo, mesh, multihost, particles  # noqa: F401
