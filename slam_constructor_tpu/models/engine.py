@@ -106,15 +106,22 @@ def init_state(cfg: EngineConfig, key: Array | None = None) -> SlamState:
 def _point_weights(cfg: EngineConfig, scan: LaserScan) -> Array | None:
     if not cfg.use_angle_histogram:
         return None
-    # vinySLAM-style degeneracy weighting: beams pointing along
-    # over-represented wall directions get down-weighted
-    from ..ops.scan import angle_histogram
+    # vinySLAM-style degeneracy weighting: scan points lying on
+    # over-represented wall directions (long straight walls) are
+    # down-weighted. A point's direction is its local wall TANGENT — the
+    # direction of the consecutive-endpoint difference — not its bearing.
+    from ..ops.scan import angle_histogram, scan_points
 
     hist = angle_histogram(scan)
     n_bins = hist.shape[0]
+    pts = scan_points(scan)
+    d = pts[1:] - pts[:-1]
+    tangent = jnp.arctan2(d[..., 1], d[..., 0])  # [R-1]
+    tangent = jnp.concatenate([tangent, tangent[-1:]])  # [R]
     bins = jnp.clip(
-        jnp.floor((scan.bearings + jnp.pi) / (2 * jnp.pi) * n_bins), 0, n_bins - 1
+        jnp.floor((tangent + jnp.pi) / (2 * jnp.pi) * n_bins), 0, n_bins - 1
     ).astype(jnp.int32)
+    # hist is normalized; hist*n_bins == 1 for a uniform direction spread
     w = 1.0 / (1.0 + hist[bins] * n_bins)
     return w.astype(jnp.float32)
 

@@ -52,14 +52,61 @@ class BeamConfig:
     wall_blur: bool = False
     #: number of blur samples along the tail when wall_blur is set
     blur_samples: int = 4
+    #: 'auto' | 'scatter' | 'matmul': how observation samples accumulate
+    #: into planes. TPU scatter serializes; the matmul path rebuilds the
+    #: plane as one-hot outer products on the MXU (A^T @ diag(v) B).
+    scatter_impl: str = "auto"
 
     def n_free_samples(self, scale: float) -> int:
         return int(math.ceil(self.max_range / (scale * self.step_fraction))) + 1
 
 
-def _flat_scatter_add(plane_shape, rows, cols, vals, valid):
-    """Scatter-add ``vals`` (any shape) into a flat ``f32[H*W]`` image,
-    dropping invalid entries via out-of-range indices + mode='drop'."""
+_SCATTER_CHUNK = 16384
+
+
+def _scatter_matmul(plane_shape, rows, cols, vals, valid):
+    """Accumulate N point values into an [H, W] plane as sum_i
+    onehot(r_i) ⊗ onehot(c_i) * v_i — two exact one-hot factors contracted
+    on the MXU. bf16 one-hots are exact; accumulation is f32."""
+    h, w = plane_shape
+    rows = rows.ravel()
+    cols = cols.ravel()
+    v = jnp.where(valid, vals, 0.0).ravel().astype(jnp.float32)
+    ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    v = jnp.where(ok.ravel(), v, 0.0)
+    n = rows.shape[0]
+    pad = (-n) % _SCATTER_CHUNK
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+    rows = rows.reshape(-1, _SCATTER_CHUNK)
+    cols = cols.reshape(-1, _SCATTER_CHUNK)
+    v = v.reshape(-1, _SCATTER_CHUNK)
+
+    def chunk(carry, inp):
+        r, c, vv = inp
+        a = (r[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)  # [N, H]
+        b = (c[:, None] == jnp.arange(w)[None, :]).astype(jnp.bfloat16)  # [N, W]
+        bv = b * vv[:, None].astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            a, bv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [H, W]
+        return carry + contrib, None
+
+    out, _ = jax.lax.scan(chunk, jnp.zeros((h, w), jnp.float32), (rows, cols, v))
+    return out
+
+
+def _flat_scatter_add(plane_shape, rows, cols, vals, valid, impl: str = "auto"):
+    """Scatter-add ``vals`` (any shape) into an ``f32[H, W]`` image.
+
+    impl='scatter': XLA scatter with mode='drop' (exact, fast on CPU/GPU).
+    impl='matmul' / 'auto' on TPU: MXU one-hot contraction (bf16 value
+    rounding on non-integer vals; counts of 1.0 are exact).
+    """
+    if impl == "matmul" or (impl == "auto" and jax.default_backend() == "tpu"):
+        return _scatter_matmul(plane_shape, rows, cols, vals, valid)
     h, w = plane_shape
     lin = rows * w + cols
     lin = jnp.where(valid & (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w), lin, -1)
@@ -121,19 +168,19 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
     first = jnp.ones((idx.shape[0], 1), bool)
     valid = valid & jnp.concatenate([first, ~same], axis=1)
-    w_free = _flat_scatter_add((h, w), idx[..., 0], idx[..., 1], jnp.ones(idx.shape[:2]), valid)
+    w_free = _flat_scatter_add((h, w), idx[..., 0], idx[..., 1], jnp.ones(idx.shape[:2]), valid, cfg.scatter_impl)
     # free observations carry occupancy 0 -> contribute to w only
 
     # --- occupied evidence at endpoints -------------------------------------
     endpoints = start + scan.ranges[:, None] * dirs  # [R, 2]
     if cfg.occupancy_estimator == "area":
         r9, c9, wgt, occ = _endpoint_area_obs(gm, endpoints, scan.valid, cfg.hole_width)
-        w_occ = _flat_scatter_add((h, w), r9, c9, wgt, wgt > 0)
-        s_occ = _flat_scatter_add((h, w), r9, c9, wgt * occ, wgt > 0)
+        w_occ = _flat_scatter_add((h, w), r9, c9, wgt, wgt > 0, cfg.scatter_impl)
+        s_occ = _flat_scatter_add((h, w), r9, c9, wgt * occ, wgt > 0, cfg.scatter_impl)
     else:
         eidx = gridlib.world_to_cell(gm, endpoints)
         ones = jnp.ones(eidx.shape[:1])
-        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, scan.valid)
+        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, scan.valid, cfg.scatter_impl)
         s_occ = w_occ  # occupancy 1.0 at hit cells
 
     if cfg.wall_blur:
@@ -150,8 +197,8 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
         vb = scan.valid[:, None] & (tb > 0)
         # weight AND observed occupancy both taper with the triangle, so the
         # map reads occupancy ~ramp at distance |d| from the wall center
-        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb)
-        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp**2, vb)
+        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb, cfg.scatter_impl)
+        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp**2, vb, cfg.scatter_impl)
         w_occ = w_occ + wb
         s_occ = s_occ + sb
 

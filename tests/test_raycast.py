@@ -87,3 +87,21 @@ def test_synth_sequence_shapes():
     # odometry roughly tracks the true +x step of the corridor trajectory
     true_dx = float(poses[1, 0] - poses[0, 0])
     assert float(jnp.abs(odom[1:, 0] - true_dx).max()) < 0.1
+
+
+def test_scatter_matmul_matches_scatter():
+    """MXU one-hot scatter path vs XLA scatter: exact for unit counts,
+    bf16-rounded (<0.5%) for fractional blur/area weights."""
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=1)
+    bearings = datagen.default_bearings(120)
+    pose = jnp.array([0.2, -0.1, 0.3])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 96, 96, 0.1)
+    for est, blur, tol in [("const", False, 0.0), ("const", True, 5e-3), ("area", False, 5e-3)]:
+        a = raycast.insert_scan(gm, model, pose, s, raycast.BeamConfig(
+            occupancy_estimator=est, wall_blur=blur, scatter_impl="scatter"))
+        b = raycast.insert_scan(gm, model, pose, s, raycast.BeamConfig(
+            occupancy_estimator=est, wall_blur=blur, scatter_impl="matmul"))
+        d = float(jnp.abs(a.cells - b.cells).max())
+        assert d <= tol, (est, blur, d)
