@@ -54,6 +54,13 @@ class GMappingConfig:
     resample_threshold: float = 0.5
     #: sharpness of the weight update: logw += gamma * log(prob)
     weight_gamma: float = 8.0
+    #: 'dense' (per-particle dense maps, resample gathers map data) or
+    #: 'cow' (shared block pool + per-particle tables, resample copies
+    #: int32 tables only — the reference's expensive map deep-copy gone)
+    map_storage: str = "dense"
+    tile_block: int = 32
+    tile_capacity: int = 1024
+    window_tiles: int = 8
 
 
 @struct.dataclass
@@ -68,10 +75,29 @@ class GMappingState:
 def init_state(cfg: GMappingConfig, key: Array | None = None) -> GMappingState:
     if key is None:
         key = jax.random.PRNGKey(0)
+    p = cfg.n_particles
+    if cfg.map_storage == "cow":
+        from ..ops import cow
+
+        gm = cow.make_cow_maps(
+            cfg.cell_model,
+            n_particles=p,
+            tiles_h=cfg.map_height // cfg.tile_block,
+            tiles_w=cfg.map_width // cfg.tile_block,
+            capacity=cfg.tile_capacity,
+            block=cfg.tile_block,
+            scale=cfg.map_scale,
+        )
+        return GMappingState(
+            gm=gm,
+            poses=jnp.zeros((p, 3), jnp.float32),
+            log_weights=jnp.full((p,), -jnp.log(float(p))),
+            key=key,
+            step=jnp.int32(0),
+        )
     gm1 = gridlib.make_grid_map(
         cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
     )
-    p = cfg.n_particles
     gm = gridlib.GridMap(
         cells=jnp.broadcast_to(gm1.cells, (p, *gm1.cells.shape)),
         origin=jnp.broadcast_to(gm1.origin, (p, 2)),
@@ -100,13 +126,62 @@ def gmapping_step(
     )
     priors = compose(state.poses, odom_delta[None, :] + noise)
 
+    keys = jax.random.split(k_match, p)
+
+    if cfg.map_storage == "cow":
+        from ..ops import cow
+
+        wt = cfg.window_tiles
+
+        # 2. per-particle scan match against a window of the particle's map
+        def match_one(p_idx, prior_p, key_p):
+            win = cow.extract_window(
+                state.gm, cfg.cell_model, p_idx, prior_p[:2], wt, wt
+            )
+            view = scoring.MapView.of(win, cfg.cell_model)
+            res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
+            return res.pose, res.prob
+
+        poses, probs = jax.vmap(match_one)(jnp.arange(p), priors, keys)
+
+        # 3. weight update
+        logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
+        logw = resample.normalize_log_weights(logw)
+
+        # 4. insert: rasterize per particle, CoW-prepare touched tiles,
+        # one shared-pool scatter
+        rows, cols, w, s = jax.vmap(
+            lambda pose_p: raycast.scan_sample_cells(
+                state.gm.origin, state.gm.scale, pose_p, scan, cfg.beam
+            )
+        )(poses)  # each [P, M]
+        pid = jnp.broadcast_to(jnp.arange(p)[:, None], rows.shape)
+        b = state.gm.block
+        th, tw = state.gm.tables.shape[1:]
+        tr = jnp.clip(rows // b, 0, th - 1)
+        tc = jnp.clip(cols // b, 0, tw - 1)
+        ok = (w > 0) & (rows >= 0) & (rows < th * b) & (cols >= 0) & (cols < tw * b)
+        touched = jnp.zeros((p, th, tw), bool).at[pid, tr, tc].max(ok, mode="drop")
+        gm = cow.prepare_write(state.gm, cfg.cell_model, touched)
+        gm = cow.scatter_observations(
+            gm, cfg.cell_model, pid.ravel(), rows.ravel(), cols.ravel(),
+            w.ravel(), s.ravel(),
+        )
+
+        # 5. resample: tables gather only (the CoW win)
+        idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
+        gm = cow.resample(gm, idx)
+        poses = poses[idx]
+        return GMappingState(
+            gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+        )
+
     # 2. per-particle scan match against the particle's OWN map
     def match_one(gm_p, prior_p, key_p):
         view = scoring.MapView.of(gm_p, cfg.cell_model)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
         return res.pose, res.prob
 
-    keys = jax.random.split(k_match, p)
     poses, probs = jax.vmap(match_one)(state.gm, priors, keys)
 
     # 3. weight update: w *= p(scan | map, pose)^gamma
@@ -186,5 +261,13 @@ class GMappingEngine:
     @property
     def occupancy(self) -> Array:
         i = best_particle(self.state)
+        if self.cfg.map_storage == "cow":
+            from ..ops import cow
+
+            th, tw = self.state.gm.tables.shape[1:]
+            win = cow.extract_window(
+                self.state.gm, self.cfg.cell_model, i, jnp.zeros(2), th, tw
+            )
+            return gridlib.occupancy_plane(win, self.cfg.cell_model)
         gm_best = jax.tree.map(lambda a: a[i], self.state.gm)
         return gridlib.occupancy_plane(gm_best, self.cfg.cell_model)

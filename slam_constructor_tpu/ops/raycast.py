@@ -143,6 +143,40 @@ def _endpoint_area_obs(gm, endpoints, valid, hole_width):
     return nbr[..., 0], nbr[..., 1], w, jnp.ones_like(w)
 
 
+def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
+    """Rasterize one scan into flat observation samples (storage-agnostic).
+
+    Returns (rows, cols, w, s) int32/f32 1-D arrays: free-space DDA samples
+    (const estimator endpoints included) ready for any scatter backend —
+    the dense planes, the block pool, or the CoW particle pool.
+    """
+    gm_like = gridlib.GridMap(cells=jnp.zeros((1, 1, 1)), origin=origin, scale=scale)
+    angles = pose[2] + scan.bearings
+    dirs = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+    start = pose[:2]
+    n_s = cfg.n_free_samples(scale)
+    step = scale * cfg.step_fraction
+    t = (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * step
+    pts = start + t[None, :, None] * dirs[:, None, :]
+    idx = gridlib.world_to_cell(gm_like, pts)
+    free_limit = scan.ranges - cfg.hole_width / 2.0
+    valid = scan.valid[:, None] & (t[None, :] < free_limit[:, None])
+    same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
+    first = jnp.ones((idx.shape[0], 1), bool)
+    valid = valid & jnp.concatenate([first, ~same], axis=1)
+
+    endpoints = start + scan.ranges[:, None] * dirs
+    eidx = gridlib.world_to_cell(gm_like, endpoints)
+
+    rows = jnp.concatenate([idx[..., 0].ravel(), eidx[..., 0]])
+    cols = jnp.concatenate([idx[..., 1].ravel(), eidx[..., 1]])
+    w = jnp.concatenate(
+        [jnp.where(valid, 1.0, 0.0).ravel(), scan.valid.astype(jnp.float32)]
+    )
+    s = jnp.concatenate([jnp.zeros(valid.size), scan.valid.astype(jnp.float32)])
+    return rows, cols, w, s
+
+
 def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     """Rasterize one scan from ``pose`` into observation planes.
 

@@ -1,0 +1,125 @@
+"""Copy-on-write particle maps: allocation, CoW semantics, resample-by-table,
+and RBPF equivalence with dense per-particle maps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_constructor_tpu.models import gmapping
+from slam_constructor_tpu.ops import cells, cow, grid, raycast, resample
+from slam_constructor_tpu.utils import datagen, evaluate
+
+
+@pytest.fixture
+def model():
+    return cells.BayesAvgCell()
+
+
+def touched_one(p, th, tw, entries):
+    t = jnp.zeros((p, th, tw), bool)
+    for pi, r, c in entries:
+        t = t.at[pi, r, c].set(True)
+    return t
+
+
+def test_alloc_and_exclusive_write(model):
+    st = cow.make_cow_maps(model, n_particles=2, tiles_h=2, tiles_w=2, capacity=8, block=8)
+    st = cow.prepare_write(st, model, touched_one(2, 2, 2, [(0, 0, 0), (1, 0, 0)]))
+    # two particles touching the same (unmapped) tile get DISTINCT blocks
+    s0, s1 = int(st.tables[0, 0, 0]), int(st.tables[1, 0, 0])
+    assert s0 >= 0 and s1 >= 0 and s0 != s1
+    assert int(cow.distinct_blocks(st)) == 2
+
+
+def test_cow_on_shared_block(model):
+    st = cow.make_cow_maps(model, 2, 2, 2, capacity=8, block=8)
+    st = cow.prepare_write(st, model, touched_one(2, 2, 2, [(0, 0, 0)]))
+    s0 = int(st.tables[0, 0, 0])
+    # particle 0 writes something
+    st = cow.scatter_observations(
+        st, model, jnp.array([0]), jnp.array([3]), jnp.array([3]),
+        jnp.array([1.0]), jnp.array([1.0]),
+    )
+    # resample: particle 1 becomes a copy of particle 0 (table share)
+    st = cow.resample(st, jnp.array([0, 0]))
+    assert int(st.tables[1, 0, 0]) == s0
+    assert int(st.refcnt[s0]) == 2
+    # particle 1 now writes the shared tile -> gets its own copy
+    st2 = cow.prepare_write(st, model, touched_one(2, 2, 2, [(1, 0, 0)]))
+    s1 = int(st2.tables[1, 0, 0])
+    assert s1 != s0 and int(st2.refcnt[s0]) == 1 and int(st2.refcnt[s1]) == 1
+    # the copy carried the written content
+    np.testing.assert_allclose(
+        np.asarray(st2.pool[s1]), np.asarray(st2.pool[s0]), atol=1e-6
+    )
+    # particle 1 writes; particle 0's view unchanged
+    st3 = cow.scatter_observations(
+        st2, model, jnp.array([1]), jnp.array([4]), jnp.array([4]),
+        jnp.array([2.0]), jnp.array([0.0]),
+    )
+    w0 = cow.extract_window(st3, model, jnp.int32(0), jnp.zeros(2), 2, 2)
+    w1 = cow.extract_window(st3, model, jnp.int32(1), jnp.zeros(2), 2, 2)
+    assert float(w0.weight[4, 4]) == 0.0
+    assert float(w1.weight[4, 4]) == 2.0
+    assert float(w0.weight[3, 3]) == float(w1.weight[3, 3]) == 1.0
+
+
+def test_block_recycling(model):
+    st = cow.make_cow_maps(model, 1, 2, 2, capacity=4, block=8)
+    st = cow.prepare_write(st, model, touched_one(1, 2, 2, [(0, 0, 0)]))
+    s0 = int(st.tables[0, 0, 0])
+    # drop all references via a resample to a table-less state... simulate by
+    # pointing the table elsewhere through resample of a fresh particle
+    st_fresh = cow.make_cow_maps(model, 1, 2, 2, capacity=4, block=8)
+    st = st.replace(tables=st_fresh.tables)
+    st = cow.resample(st, jnp.array([0]))
+    assert int(st.refcnt[s0]) == 0  # recycled
+    st = cow.prepare_write(st, model, touched_one(1, 2, 2, [(0, 1, 1)]))
+    assert int(st.tables[0, 1, 1]) == s0  # lowest free slot reused
+
+
+def test_overflow_flag(model):
+    st = cow.make_cow_maps(model, 1, 4, 4, capacity=2, block=8)
+    st = cow.prepare_write(st, model, jnp.ones((1, 4, 4), bool))
+    assert bool(st.overflow)
+
+
+def test_gmapping_cow_matches_dense_quality():
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(15)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(11),
+        odom_noise_xy=0.02, odom_noise_theta=0.01,
+    )
+    kw = dict(n_particles=6, map_height=256, map_width=256,
+              beam=raycast.BeamConfig(occupancy_estimator="const", wall_blur=False))
+    cfg_d = gmapping.GMappingConfig(**kw)
+    cfg_c = gmapping.GMappingConfig(
+        **kw, map_storage="cow", tile_block=32, tile_capacity=512, window_tiles=8
+    )
+    trajs, ates = {}, {}
+    for name, cfg in [("dense", cfg_d), ("cow", cfg_c)]:
+        e = gmapping.GMappingEngine(cfg)
+        e.state = e.state.replace(
+            poses=jnp.broadcast_to(gt[0], (cfg.n_particles, 3))
+        )
+        traj, _ = e.run(scans, odom)
+        trajs[name] = np.asarray(traj)
+        ates[name] = float(evaluate.ate(traj, gt, align=False))
+    # CoW storage is an exact refactor of dense per-particle maps: same
+    # PRNG stream, same scores -> same trajectory (within window-extraction
+    # float noise)
+    np.testing.assert_allclose(trajs["cow"], trajs["dense"], atol=5e-3)
+    assert ates["cow"] < 0.5 and ates["dense"] < 0.5, ates
+
+
+def test_cow_sharing_after_convergence(model):
+    """After resampling to one ancestor, blocks are shared, not copied."""
+    st = cow.make_cow_maps(model, 4, 4, 4, capacity=64, block=8)
+    t = jnp.zeros((4, 4, 4), bool).at[:, 1, 1].set(True).at[:, 2, 2].set(True)
+    st = cow.prepare_write(st, model, t)
+    assert int(cow.distinct_blocks(st)) == 8  # 4 particles x 2 tiles
+    st = cow.resample(st, jnp.zeros(4, jnp.int32))
+    assert int(cow.distinct_blocks(st)) == 2  # everyone shares ancestor 0
