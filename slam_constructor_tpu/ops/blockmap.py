@@ -152,40 +152,12 @@ def scatter_observations(
 
 def insert_scan(bm: BlockMap, model, pose: Array, scan, cfg) -> BlockMap:
     """Scan insertion into the tiled map — same rasterization as the dense
-    path (raycast), scatter into the pool."""
+    path (raycast.scan_sample_cells, incl. area estimator and wall blur),
+    scattered into the pool."""
     from . import raycast
 
-    # reuse the dense rasterizer's sample generation by treating the whole
-    # table extent as the grid (no dense planes are materialized)
-    gm_like = gridlib.GridMap(
-        cells=jnp.zeros((1, 1, 1)), origin=bm.origin, scale=bm.scale
-    )
-    h, w = bm.height, bm.width
-
-    angles = pose[2] + scan.bearings
-    dirs = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
-    start = pose[:2]
-    n_s = cfg.n_free_samples(bm.scale)
-    step = bm.scale * cfg.step_fraction
-    t = (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * step
-    pts = start + t[None, :, None] * dirs[:, None, :]
-    idx = gridlib.world_to_cell(gm_like, pts)
-    free_limit = scan.ranges - cfg.hole_width / 2.0
-    valid = scan.valid[:, None] & (t[None, :] < free_limit[:, None])
-    same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
-    first = jnp.ones((idx.shape[0], 1), bool)
-    valid = valid & jnp.concatenate([first, ~same], axis=1)
-
-    endpoints = start + scan.ranges[:, None] * dirs
-    eidx = gridlib.world_to_cell(gm_like, endpoints)
-
-    rows = jnp.concatenate([idx[..., 0].ravel(), eidx[..., 0]])
-    cols = jnp.concatenate([idx[..., 1].ravel(), eidx[..., 1]])
-    w_obs = jnp.concatenate(
-        [jnp.where(valid, 1.0, 0.0).ravel(), scan.valid.astype(jnp.float32)]
-    )
-    s_obs = jnp.concatenate(
-        [jnp.zeros(valid.size), scan.valid.astype(jnp.float32)]
+    rows, cols, w_obs, s_obs = raycast.scan_sample_cells(
+        bm.origin, bm.scale, pose, scan, cfg
     )
     return scatter_observations(bm, model, rows, cols, w_obs, s_obs)
 

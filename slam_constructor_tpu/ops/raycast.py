@@ -166,15 +166,44 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
     valid = valid & jnp.concatenate([first, ~same], axis=1)
 
     endpoints = start + scan.ranges[:, None] * dirs
-    eidx = gridlib.world_to_cell(gm_like, endpoints)
+    rows = [idx[..., 0].ravel()]
+    cols = [idx[..., 1].ravel()]
+    w = [jnp.where(valid, 1.0, 0.0).ravel()]
+    s = [jnp.zeros(valid.size)]
 
-    rows = jnp.concatenate([idx[..., 0].ravel(), eidx[..., 0]])
-    cols = jnp.concatenate([idx[..., 1].ravel(), eidx[..., 1]])
-    w = jnp.concatenate(
-        [jnp.where(valid, 1.0, 0.0).ravel(), scan.valid.astype(jnp.float32)]
+    if cfg.occupancy_estimator == "area":
+        r9, c9, wgt, occv = _endpoint_area_obs(
+            gm_like, endpoints, scan.valid, cfg.hole_width
+        )
+        rows.append(r9.ravel())
+        cols.append(c9.ravel())
+        w.append(wgt.ravel())
+        s.append((wgt * occv).ravel())
+    else:
+        eidx = gridlib.world_to_cell(gm_like, endpoints)
+        rows.append(eidx[..., 0])
+        cols.append(eidx[..., 1])
+        w.append(scan.valid.astype(jnp.float32))
+        s.append(scan.valid.astype(jnp.float32))
+
+    if cfg.wall_blur:
+        bt = jnp.linspace(-1.0, 1.0, cfg.blur_samples)
+        tb = scan.ranges[:, None] + cfg.hole_width / 2.0 * bt[None, :]
+        pb = start + tb[..., None] * dirs[:, None, :]
+        ib = gridlib.world_to_cell(gm_like, pb)
+        ramp = jnp.broadcast_to(1.0 - jnp.abs(bt)[None, :], tb.shape)
+        vb = (scan.valid[:, None] & (tb > 0)).astype(jnp.float32)
+        rows.append(ib[..., 0].ravel())
+        cols.append(ib[..., 1].ravel())
+        w.append((ramp * vb).ravel())
+        s.append((ramp**2 * vb).ravel())
+
+    return (
+        jnp.concatenate(rows),
+        jnp.concatenate(cols),
+        jnp.concatenate(w),
+        jnp.concatenate(s),
     )
-    s = jnp.concatenate([jnp.zeros(valid.size), scan.valid.astype(jnp.float32)])
-    return rows, cols, w, s
 
 
 def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):

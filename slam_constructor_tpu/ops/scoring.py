@@ -174,6 +174,20 @@ def score_poses(
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords
 
+    if (
+        cfg.impl == "pallas"
+        and cfg.reducer == "overlap"
+        and cfg.overlap_extent == 1.0
+    ):
+        from . import pallas_kernels
+
+        k, r = rel.shape[:2]
+        v = jnp.where(view.known, view.occ, cfg.unknown_prob)
+        point_p = pallas_kernels.sample_for_scoring(
+            v, rel.reshape(k * r, 2), cfg.unknown_prob
+        ).reshape(k, r)
+        return _weighted_mean(point_p, scan, cfg, point_weights)
+
     use_matmul = cfg.impl == "matmul" or (
         cfg.impl == "auto"
         and cfg.reducer in ("obstacle", "mean", "overlap")

@@ -50,12 +50,13 @@ def test_scatter_and_extract(model):
     assert float(occ[0, 0]) == pytest.approx(0.5)  # untouched -> init
 
 
-def test_insert_scan_matches_dense(model):
+@pytest.mark.parametrize("estimator,blur", [("const", False), ("area", False), ("const", True)])
+def test_insert_scan_matches_dense(model, estimator, blur):
     occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=9)
     bearings = datagen.default_bearings(120)
     pose = jnp.array([0.2, -0.1, 0.3])
     s = raycast.cast_rays(occ, origin, scale, pose, bearings)
-    cfg = raycast.BeamConfig(occupancy_estimator="const", wall_blur=False)
+    cfg = raycast.BeamConfig(occupancy_estimator=estimator, wall_blur=blur)
 
     block = 32
     tiles = 4  # 128x128 cells at 0.1 -> 12.8m, covers the 8m world

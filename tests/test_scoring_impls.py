@@ -57,3 +57,15 @@ def test_matmul_chunked_path(setup):
     got = scoring.score_poses(view, s, big, cfg_m)
     want = scoring.score_poses(view, s, big, cfg_g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_pallas_matches_gather(setup):
+    """Fused Pallas bilinear kernel (interpret mode on CPU) == gather path."""
+    view, s, cand = setup
+    got = scoring.score_poses(
+        view, s, cand, scoring.ScoringConfig(reducer="overlap", impl="pallas")
+    )
+    want = scoring.score_poses(
+        view, s, cand, scoring.ScoringConfig(reducer="overlap", impl="gather")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
