@@ -115,3 +115,61 @@ def sharded_score_poses(
         check_vma=False,
     )
     return fn(val_plane, poses, pts, mask)
+
+
+def beam_sharded_score_poses(
+    view: MapView,
+    scan: scanlib.LaserScan,
+    poses: Array,
+    cfg: ScoringConfig,
+    mesh: Mesh,
+    axis: str = "chips",
+) -> Array:
+    """Sequence-parallel scoring: the BEAM axis is sharded over the mesh
+    (SURVEY.md §2.9 SP row — beams are independent given the pose, so each
+    device scores its beam shard against a replicated map and one psum
+    combines the weighted partial sums). Exact vs. the unsharded scorer.
+    """
+    n_dev = mesh.shape[axis]
+    r = scan.n_beams
+    assert r % n_dev == 0, "beam count must divide the mesh axis"
+    val_plane = jnp.where(view.known, view.occ, cfg.unknown_prob)
+    mask_full = scanlib.subsample_mask(scan, cfg.stride).astype(jnp.float32)
+    pts = scanlib.scan_points(scan)
+    h, w = view.occ.shape
+    if cfg.reducer == "obstacle":
+        offs = jnp.zeros((1, 2), jnp.int32)
+    else:
+        offs = _window_offsets(cfg.window)
+
+    def kernel(plane, poses_, pts_, mask_):
+        world = apply_pose(poses_[:, None, :], pts_[None, :, :])  # [K, Rl, 2]
+        rel = (world - view.origin) / view.scale
+        col = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        row = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        wrow = row[..., None] + offs[None, None, :, 0]
+        wcol = col[..., None] + offs[None, None, :, 1]
+        in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
+        vals = jnp.where(
+            in_map,
+            plane[jnp.clip(wrow, 0, h - 1), jnp.clip(wcol, 0, w - 1)],
+            cfg.unknown_prob,
+        )
+        if cfg.reducer == "max":
+            point_p = vals.max(-1)
+        elif cfg.reducer == "mean":
+            point_p = vals.mean(-1)
+        else:
+            point_p = vals[..., 0]
+        num = jax.lax.psum((point_p * mask_[None, :]).sum(-1), axis)
+        den = jax.lax.psum(mask_.sum(), axis)
+        return num / jnp.maximum(den, 1e-9)
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis, None), P(axis)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(val_plane, poses, pts, mask_full)

@@ -116,3 +116,23 @@ def test_distributed_optimize_schur_matches_direct():
 def test_hosts_chips_mesh():
     m = meshlib.make_mesh(n_hosts=2, n_chips=4)
     assert m.shape == {"hosts": 2, "chips": 4}
+
+
+@pytest.mark.parametrize("reducer", ["obstacle", "mean"])
+def test_beam_sharded_score_matches_unsharded(reducer):
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=6)
+    bearings = datagen.default_bearings(120)
+    true_pose = jnp.array([0.2, 0.1, 0.3])
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    gm = raycast.insert_scan(gm, model, true_pose, s, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+    cfg = scoring.ScoringConfig(reducer=reducer, window=1)
+    cand = true_pose[None, :] + jax.random.normal(
+        jax.random.PRNGKey(5), (8, 3)
+    ) * jnp.array([0.4, 0.4, 0.2])
+    want = scoring.score_poses(view, s, cand, cfg)
+    m = meshlib.flat_mesh("chips")
+    got = halo.beam_sharded_score_poses(view, s, cand, cfg, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
