@@ -205,6 +205,25 @@ class Engine:
         self.trajectory.extend(list(traj))
         return traj, probs
 
+    def run_stream(self, items) -> None:
+        """Streaming mode with double-buffered prefetch (the PP axis of
+        SURVEY.md §2.9): the NEXT (scan, odom) pair is transferred to the
+        device while the current step executes — JAX's async dispatch
+        overlaps host IO, transfer, and compute with no extra threads.
+
+        ``items`` yields (LaserScan, odom_delta) pairs (host or device).
+        """
+        pending = None
+        for item in items:
+            item_dev = jax.device_put(item)  # async H2D for the NEXT step
+            if pending is not None:
+                self.state = self._step(self.state, *pending)
+                self.trajectory.append(self.state.pose)
+            pending = item_dev
+        if pending is not None:
+            self.state = self._step(self.state, *pending)
+            self.trajectory.append(self.state.pose)
+
     @property
     def occupancy(self) -> Array:
         if self.cfg.map_storage == "tiled":

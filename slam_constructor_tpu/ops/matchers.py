@@ -33,6 +33,10 @@ Array = jax.Array
 class MatchResult:
     pose: Array  # f32[3] refined world pose
     prob: Array  # f32[] scan probability at the refined pose
+    #: per-round best probability (the GridScanMatcherObserver hook of the
+    #: reference, as data: fixed-length trace; empty for single-shot
+    #: matchers)
+    trace: Array = struct.field(default_factory=lambda: jnp.zeros((0,)))
 
 
 # --- Monte-Carlo ------------------------------------------------------------
@@ -81,10 +85,10 @@ def monte_carlo_match(
 
     sigma0 = jnp.array([cfg.sigma_xy, cfg.sigma_xy, cfg.sigma_theta], jnp.float32)
     keys = jax.random.split(key, cfg.rounds)
-    (pose, prob, _, _), _ = jax.lax.scan(
+    (pose, prob, _, _), trace = jax.lax.scan(
         round_fn, (init_pose, init_prob, sigma0, jnp.int32(0)), keys
     )
-    return MatchResult(pose=pose, prob=prob)
+    return MatchResult(pose=pose, prob=prob, trace=trace)
 
 
 # --- hill climbing ----------------------------------------------------------
@@ -126,13 +130,13 @@ def hill_climbing_match(
         pose = jnp.where(better, cand[i], pose)
         prob = jnp.where(better, probs[i], prob)
         steps = jnp.where(better, steps, steps * cfg.shrink)
-        return (pose, prob, steps), None
+        return (pose, prob, steps), prob
 
     steps0 = jnp.array([cfg.step_xy, cfg.step_xy, cfg.step_theta], jnp.float32)
-    (pose, prob, _), _ = jax.lax.scan(
+    (pose, prob, _), trace = jax.lax.scan(
         iter_fn, (init_pose, init_prob, steps0), None, length=cfg.iterations
     )
-    return MatchResult(pose=pose, prob=prob)
+    return MatchResult(pose=pose, prob=prob, trace=trace)
 
 
 # --- brute force ------------------------------------------------------------
