@@ -172,8 +172,11 @@ def gmapping_step(
         idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
         gm = cow.resample(gm, idx)
         poses = poses[idx]
-        return GMappingState(
-            gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+        return (
+            GMappingState(
+                gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+            ),
+            idx,
         )
 
     # 2. per-particle scan match against the particle's OWN map
@@ -200,8 +203,11 @@ def gmapping_step(
     gm = jax.tree.map(lambda a: a[idx], gm)
     poses = poses[idx]
 
-    return GMappingState(
-        gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+    return (
+        GMappingState(
+            gm=gm, poses=poses, log_weights=logw, key=key, step=state.step + 1
+        ),
+        idx,
     )
 
 
@@ -224,16 +230,45 @@ def run_sequence(
 ):
     """Whole-sequence device-resident RBPF run.
 
-    Returns (final state, best-particle trajectory f32[T, 3], Neff f32[T]).
+    Returns (final state, best-particle per-step pose f32[T, 3], Neff
+    f32[T], all particle poses f32[T, P, 3], ancestors i32[T, P]).
+    The last two reconstruct genealogy-consistent per-particle
+    trajectories (the reference stores a trajectory per particle) via
+    :func:`winner_trajectory`.
     """
 
     def body(st, inp):
         scan, od = inp
-        st = gmapping_step(cfg, st, scan, od)
-        return st, (estimate_pose(st), neff(st))
+        st, anc = gmapping_step(cfg, st, scan, od)
+        return st, (estimate_pose(st), neff(st), st.poses, anc)
 
-    state, (traj, neffs) = jax.lax.scan(body, state, (scans, odom))
-    return state, traj, neffs
+    state, (traj, neffs, all_poses, ancestors) = jax.lax.scan(
+        body, state, (scans, odom)
+    )
+    return state, traj, neffs, all_poses, ancestors
+
+
+def winner_trajectory(all_poses: Array, ancestors: Array, winner) -> Array:
+    """Backtrack the genealogy of particle ``winner`` at the final step.
+
+    all_poses: f32[T, P, 3]; ancestors: i32[T, P] (ancestors[t, i] = index
+    BEFORE step t's resample of the particle stored at slot i after it).
+    Returns the ancestral pose path f32[T, 3] — the RBPF trajectory
+    estimate, consistent across resampling events.
+    """
+    t = all_poses.shape[0]
+
+    def back(i, carry):
+        idx, out = carry
+        step_i = t - 1 - i
+        out = out.at[step_i].set(all_poses[step_i, idx])
+        idx = ancestors[step_i, idx]
+        return idx, out
+
+    _, out = jax.lax.fori_loop(
+        0, t, back, (jnp.asarray(winner, jnp.int32), jnp.zeros((t, 3)))
+    )
+    return out
 
 
 class GMappingEngine:
@@ -246,17 +281,27 @@ class GMappingEngine:
         self.state = init_state(cfg, key)
         self._step = jax.jit(partial(gmapping_step, cfg))
         self.trajectory: list = []
+        #: (all_poses [T, P, 3], ancestors [T, P]) from the last offline run
+        self.genealogy = None
 
     def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
-        self.state = self._step(self.state, scan, odom_delta)
+        self.state, _ = self._step(self.state, scan, odom_delta)
         pose = estimate_pose(self.state)
         self.trajectory.append(pose)
         return pose
 
     def run(self, scans: LaserScan, odom: Array):
-        self.state, traj, neffs = run_sequence(self.cfg, self.state, scans, odom)
+        self.state, traj, neffs, all_poses, ancestors = run_sequence(
+            self.cfg, self.state, scans, odom
+        )
+        self.genealogy = (all_poses, ancestors)
         self.trajectory.extend(list(traj))
         return traj, neffs
+
+    def winner_trajectory(self) -> Array:
+        """Genealogy-consistent trajectory of the final best particle."""
+        assert self.genealogy is not None, "run() first"
+        return winner_trajectory(*self.genealogy, best_particle(self.state))
 
     @property
     def occupancy(self) -> Array:

@@ -45,6 +45,10 @@ class M3RSMConfig:
     beam_width: int = 256
     #: number of pyramid levels above the finest (level 0)
     levels: int = 5
+    #: hill-climbing iterations for sub-cell refinement of the discrete
+    #: optimum (0 = raw cell-resolution result; tracking configs need this,
+    #: pure relocalization/loop-closure queries may skip it)
+    refine_iterations: int = 8
     scoring: ScoringConfig = ScoringConfig()
 
 
@@ -128,6 +132,17 @@ def m3rsm_match(
     if point_weights is not None:
         mask = mask * point_weights
 
+    def tiebreak(cands):
+        # prefer candidates near the prior when scores tie (exactly flat
+        # regions, e.g. a not-yet-mapped area scoring unknown_prob
+        # everywhere, must not yank the pose to the window corner)
+        d = (
+            jnp.abs(cands[:, 1]).astype(jnp.float32)
+            + jnp.abs(cands[:, 2]).astype(jnp.float32)
+            + jnp.abs(cands[:, 0] - cfg.n_theta // 2).astype(jnp.float32)
+        )
+        return -1e-6 * d
+
     # initial frontier: all aligned rects of size 2^levels covering the window
     tx_half = int(math.ceil(cfg.half_x / view.scale))
     ty_half = int(math.ceil(cfg.half_y / view.scale))
@@ -146,7 +161,7 @@ def m3rsm_match(
 
     scores = _score_level(
         pyramid[top], c0, cands, top, mask, ucfg.unknown_prob
-    )
+    ) + tiebreak(cands)
 
     m = cfg.beam_width
     for level in range(top - 1, -1, -1):
@@ -163,7 +178,7 @@ def m3rsm_match(
         cands = (parents[:, None, :] + offs[None, :, :]).reshape(-1, 3)
         scores = _score_level(
             pyramid[level], c0, cands, level, mask, ucfg.unknown_prob
-        )
+        ) + tiebreak(cands)
 
     best = jnp.argmax(scores)
     t_idx, ty, tx = cands[best, 0], cands[best, 1], cands[best, 2]
@@ -174,6 +189,19 @@ def m3rsm_match(
             wrap_angle(init_pose[2] + thetas[t_idx]),
         ]
     )
+    if cfg.refine_iterations > 0:
+        from .matchers import HillClimbingConfig, hill_climbing_match
+
+        theta_step = (
+            2 * cfg.half_theta / max(cfg.n_theta - 1, 1) if cfg.n_theta > 1 else 0.02
+        )
+        hc = HillClimbingConfig(
+            step_xy=view.scale,
+            step_theta=max(theta_step / 2, 1e-3),
+            iterations=cfg.refine_iterations,
+            scoring=cfg.scoring,
+        )
+        return hill_climbing_match(view, scan, pose, None, hc, point_weights)
     return MatchResult(pose=pose, prob=scores[best])
 
 

@@ -58,7 +58,7 @@ def make_sharded_step(cfg: gm_lib.GMappingConfig, mesh: Mesh, axis="particles"):
     return jax.jit(
         partial(gm_lib.gmapping_step, cfg),
         in_shardings=(sh, rep, rep),
-        out_shardings=sh,
+        out_shardings=(sh, rep),  # (state, resample ancestors)
         donate_argnums=0,
     )
 
@@ -71,7 +71,10 @@ def make_sharded_run(cfg: gm_lib.GMappingConfig, mesh: Mesh, axis="particles"):
     def run(state, scans, odom):
         return gm_lib.run_sequence(cfg, state, scans, odom)
 
-    return jax.jit(run, in_shardings=(sh, rep, rep), out_shardings=(sh, rep, rep))
+    return jax.jit(
+        run, in_shardings=(sh, rep, rep),
+        out_shardings=(sh, rep, rep, rep, rep),
+    )
 
 
 # --- explicit shard_map collectives (multi-host building blocks) ------------

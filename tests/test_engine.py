@@ -154,3 +154,31 @@ def test_matcher_trace_exposed(sequence):
     # recorded value is the round's best candidate which can dip; just check
     # it is a valid probability series
     assert float(res.trace.min()) >= 0.0 and float(res.trace.max()) <= 1.0
+
+
+def test_m3rsm_engine_end_to_end(sequence):
+    """EngineConfig with the m3rsm global matcher tracks the corridor."""
+    import dataclasses
+
+    from slam_constructor_tpu.ops import m3rsm as m3
+    from slam_constructor_tpu.ops import scoring as sc
+
+    scans, odom, gt = sequence
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        matcher="m3rsm",
+        matcher_cfg=m3.M3RSMConfig(
+            half_x=0.3, half_y=0.3, half_theta=0.1, n_theta=7, levels=3,
+            beam_width=96,
+            # overlap reducer: the B&B bound uses cell values either way,
+            # but sub-cell hill-climb refinement needs the interpolating
+            # reducer (obstacle is piecewise-constant within a cell)
+            scoring=sc.ScoringConfig(reducer="overlap"),
+        ),
+    )
+    e = eng.Engine(cfg)
+    e.state = e.state.replace(pose=gt[0])
+    traj, probs = e.run(scans, odom)
+    err = float(evaluate.ate(traj, gt, align=False))
+    assert err < 0.25, err

@@ -43,7 +43,7 @@ def test_sharded_gmapping_step_matches_unsharded():
     st = gmapping.init_state(cfg)
     s0 = jax.tree.map(lambda a: a[0], scans)
 
-    ref = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(
+    ref, _ = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(
         st, s0, odom[0]
     )
 
@@ -51,7 +51,7 @@ def test_sharded_gmapping_step_matches_unsharded():
     step = particles.make_sharded_step(cfg, m)
     st2 = gmapping.init_state(cfg)
     st2 = particles.shard_state(st2, m)
-    got = step(st2, s0, odom[0])
+    got, _ = step(st2, s0, odom[0])
 
     np.testing.assert_allclose(np.asarray(got.poses), np.asarray(ref.poses), atol=1e-5)
     np.testing.assert_allclose(

@@ -87,6 +87,29 @@ def test_gmapping_jit_step(sequence):
     cfg = gmapping.GMappingConfig(n_particles=4, map_height=96, map_width=96)
     st = gmapping.init_state(cfg)
     s0 = jax.tree.map(lambda a: a[0], scans)
-    st2 = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(st, s0, odom[0])
+    st2, _ = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))(st, s0, odom[0])
     assert st2.poses.shape == (4, 3)
     assert int(st2.step) == 1
+
+
+def test_winner_trajectory_genealogy(sequence):
+    """Backtracked ancestral trajectory is consistent: each step's pose must
+    be one of that step's particle poses, and the final pose equals the
+    winner's."""
+    scans, odom, gt = sequence
+    cfg = gmapping.GMappingConfig(n_particles=6, map_height=192, map_width=192)
+    e = gmapping.GMappingEngine(cfg)
+    e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (6, 3)))
+    e.run(scans, odom)
+    wt = np.asarray(e.winner_trajectory())
+    all_poses, ancestors = e.genealogy
+    all_poses = np.asarray(all_poses)
+    assert wt.shape == (all_poses.shape[0], 3)
+    for t in range(all_poses.shape[0]):
+        d = np.linalg.norm(all_poses[t] - wt[t][None, :], axis=1)
+        assert d.min() < 1e-5
+    win = int(gmapping.best_particle(e.state))
+    np.testing.assert_allclose(wt[-1], all_poses[-1, win], atol=1e-6)
+    # genealogy trajectory should also track ground truth
+    from slam_constructor_tpu.utils import evaluate
+    assert float(evaluate.ate(jnp.asarray(wt), gt[: len(wt)], align=False)) < 0.3
