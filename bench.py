@@ -82,6 +82,8 @@ def main():
     dt = time.perf_counter() - t0
 
     sps = n_scans / dt
+    if os.environ.get("SLAM_BENCH_KERNELS"):
+        kernel_reports(scans, cfg)  # stderr; stdout stays one JSON line
     print(
         json.dumps(
             {
@@ -92,6 +94,65 @@ def main():
             }
         )
     )
+
+
+def kernel_reports(scans, cfg) -> None:
+    """Per-kernel speed-of-light roofline reports (BASELINE requirement),
+    written to stderr as JSON lines."""
+    import sys
+
+    import jax
+
+    from slam_constructor_tpu.models import engine as eng
+    from slam_constructor_tpu.ops import matchers, raycast, scoring
+    from slam_constructor_tpu.utils import profiling
+
+    state = eng.init_state(cfg) if hasattr(cfg, "cell_model") else None
+    if state is None:
+        return
+    model = cfg.cell_model
+    s0 = jax.tree.map(lambda a: a[0], scans)
+    gm = raycast.insert_scan(state.gm, model, jnp.zeros(3), s0, cfg.beam)
+    view = scoring.MapView.of(gm, model)
+    h, w = view.occ.shape
+    r = s0.n_beams
+    k = 64
+    cand = jnp.zeros((k, 3))
+
+    reports = []
+    for impl in ("matmul", "gather", "pallas"):
+        try:
+            sc = scoring.ScoringConfig(reducer="overlap", impl=impl)
+            f = jax.jit(lambda v, s, c: scoring.score_poses(v, s, c, sc))
+            t = profiling.timed(f, view, s0, cand, iters=10)
+            n = k * r
+            flops = 2.0 * n * h * w / (h // h)  # selection matmul dominates
+            bytes_acc = 4.0 * (n * h + n * w + h * w + n * w)
+            reports.append(
+                profiling.sol_report(f"score_{impl}", t, flops, bytes_acc)
+            )
+        except Exception as e:  # pallas may be unavailable off-TPU
+            reports.append({"kernel": f"score_{impl}", "error": str(e)[:100]})
+
+    f = jax.jit(
+        lambda g, p, s: raycast.insert_scan(g, model, p, s, cfg.beam)
+    )
+    t = profiling.timed(f, gm, jnp.zeros(3), s0, iters=10)
+    n_samples = r * cfg.beam.n_free_samples(gm.scale)
+    reports.append(
+        profiling.sol_report(
+            "insert_scan", t, 2.0 * n_samples * (h + w),
+            4.0 * (2 * h * w + n_samples * 4),
+        )
+    )
+
+    mc = cfg.matcher_cfg if cfg.matcher == "monte_carlo" else matchers.MonteCarloConfig()
+    f = jax.jit(lambda v, s, p, key: matchers.monte_carlo_match(v, s, p, key, mc))
+    t = profiling.timed(f, view, s0, jnp.zeros(3), jax.random.PRNGKey(0), iters=5)
+    reports.append({"kernel": "mc_match_full", "measured_ms": t * 1e3})
+
+    for rep in reports:
+        print(json.dumps(rep), file=sys.stderr)
 
 
 if __name__ == "__main__":
