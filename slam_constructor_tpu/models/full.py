@@ -53,6 +53,11 @@ class FullSlamEngine:
         self.pending_loops = 0
         self.total_loops = 0
         self.trajectory: list = []
+        #: per trajectory entry: (anchor keyframe idx, body-frame delta from
+        #: that keyframe's estimate at record time) — lets loop closures
+        #: retro-correct the whole history (reference only corrects the live
+        #: map->odom transform; correcting history improves full-run ATE)
+        self._anchors: list = []
 
         model = t.cell_model
         self._track = jax.jit(partial(slam_step, t))
@@ -81,6 +86,11 @@ class FullSlamEngine:
                 self.pending_loops = 0
 
         self.trajectory.append(self.state.pose)
+        kf_idx = max(int(self.graph.last_kf), 0)
+        anchor_pose = self.graph.kf_poses[kf_idx]
+        self._anchors.append(
+            (kf_idx, between(anchor_pose, self.state.pose))
+        )
         return self.state.pose
 
     def _close_loops(self):
@@ -100,11 +110,20 @@ class FullSlamEngine:
         gm = self._regen(self.graph, fresh)
         self.state = self.state.replace(gm=gm, pose=new_pose)
 
+    def corrected_trajectory(self) -> jax.Array:
+        """Trajectory history re-anchored to the CURRENT (optimized)
+        keyframe estimates — the post-loop-closure trajectory."""
+        if not self._anchors:
+            return jnp.zeros((0, 3))
+        idx = jnp.asarray([a[0] for a in self._anchors], jnp.int32)
+        deltas = jnp.stack([a[1] for a in self._anchors])
+        return compose(self.graph.kf_poses[idx], deltas)
+
     def run(self, scans: LaserScan, odom):
         n = odom.shape[0]
         for i in range(n):
             self.handle_scan(jax.tree.map(lambda a: a[i], scans), odom[i])
-        return jnp.stack(self.trajectory)
+        return self.corrected_trajectory()
 
     @property
     def keyframe_poses(self):
