@@ -83,6 +83,7 @@ def _score_level(
     level: int,
     mask: Array,  # f32[R] beam weights
     unknown_prob: float,
+    impl: str = "auto",
 ) -> Array:
     h, w = plane.shape
     base = c0[cands[:, 0]]  # [K, R, 2]
@@ -96,7 +97,24 @@ def _score_level(
         [[0, 0], [0, e], [e, 0], [e, e]], jnp.int32
     )  # [4, 2]
     idx = (fine[:, :, None, :] + corners[None, None, :, :]) >> level
-    vals = gridlib.gather_plane(plane, idx, unknown_prob, h, w)  # [K, R, 4]
+
+    use_matmul = impl == "matmul" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_matmul:
+        # same TPU-gather avoidance as scoring.py: one-hot MXU sampling of
+        # the level plane at each coarse corner cell
+        from .scoring import ScoringConfig, _sample_matmul_chunked
+
+        cfg1 = ScoringConfig(reducer="obstacle", unknown_prob=unknown_prob)
+        k, r = idx.shape[:2]
+        rel = jnp.stack(
+            [idx[..., 1].astype(jnp.float32) + 0.5,  # x = col
+             idx[..., 0].astype(jnp.float32) + 0.5], axis=-1  # y = row
+        ).reshape(k * r * 4, 2)
+        vals = _sample_matmul_chunked(plane, rel, cfg1).reshape(k, r, 4)
+    else:
+        vals = gridlib.gather_plane(plane, idx, unknown_prob, h, w)  # [K, R, 4]
     vals = vals.max(-1)
     return (vals * mask[None, :]).sum(-1) / jnp.maximum(mask.sum(), 1e-9)
 
@@ -160,7 +178,7 @@ def m3rsm_match(
     ).astype(jnp.int32)  # [K0, 3]
 
     scores = _score_level(
-        pyramid[top], c0, cands, top, mask, ucfg.unknown_prob
+        pyramid[top], c0, cands, top, mask, ucfg.unknown_prob, ucfg.impl
     ) + tiebreak(cands)
 
     m = cfg.beam_width
@@ -177,7 +195,7 @@ def m3rsm_match(
         )
         cands = (parents[:, None, :] + offs[None, :, :]).reshape(-1, 3)
         scores = _score_level(
-            pyramid[level], c0, cands, level, mask, ucfg.unknown_prob
+            pyramid[level], c0, cands, level, mask, ucfg.unknown_prob, ucfg.impl
         ) + tiebreak(cands)
 
     best = jnp.argmax(scores)
