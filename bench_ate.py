@@ -1,0 +1,101 @@
+"""Quality benchmark: ATE across all presets on the standard synthetic
+sequence (offline stand-in for MIT Stata/CSAIL until datasets are reachable
+— SURVEY.md §6). Prints one JSON line per preset.
+
+Sequence: two laps around the cecum world's inner block (loop closures
+available), 120 beams, odometry noise 2 cm / 0.012 rad per step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+
+    if os.environ.get("SLAM_ATE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_constructor_tpu.models import full, gmapping, posegraph as pg, tiny, viny
+    from slam_constructor_tpu.utils import datagen, evaluate
+
+    n_beams = int(os.environ.get("SLAM_ATE_BEAMS", 120))
+    laps = int(os.environ.get("SLAM_ATE_LAPS", 2))
+
+    occ, origin, scale = datagen.cecum_world()
+    lap = datagen.rectangle_trajectory(step=0.3)
+    poses = jnp.tile(lap, (laps, 1))
+    bearings = datagen.default_bearings(n_beams)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(42),
+        odom_noise_xy=0.02, odom_noise_theta=0.012,
+    )
+    n = int(odom.shape[0])
+
+    def report(name, traj, t0):
+        dt = time.perf_counter() - t0
+        ate = float(evaluate.ate(traj, gt[: traj.shape[0]], align=False))
+        rpe_t, rpe_r = evaluate.rpe(traj, gt[: traj.shape[0]])
+        print(json.dumps({
+            "preset": name, "scans": n, "ate_m": round(ate, 4),
+            "rpe_t_m": round(float(rpe_t), 4),
+            "rpe_r_rad": round(float(rpe_r), 4),
+            "scans_per_sec": round(n / dt, 2),
+        }), flush=True)
+
+    # odometry-only baseline (what the matcher must beat)
+    from slam_constructor_tpu.ops.geometry import compose
+    p = gt[0]
+    odo = [p]
+    for d in odom[1:]:
+        p = compose(p, d)
+        odo.append(p)
+    report("odometry_only", jnp.stack(odo), time.perf_counter())
+
+    for name, make in [
+        ("tiny", lambda: tiny.make_engine(mc_batch=48, mc_rounds=12)),
+        ("viny", lambda: viny.make_engine(mc_batch=48, mc_rounds=12)),
+    ]:
+        e = make()
+        e.state = e.state.replace(pose=gt[0])
+        t0 = time.perf_counter()
+        traj, _ = e.run(scans, odom)
+        np.asarray(traj)
+        report(name, traj, t0)
+
+    e = gmapping.GMappingEngine(
+        gmapping.GMappingConfig(n_particles=16, map_height=256, map_width=256)
+    )
+    e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (16, 3)))
+    t0 = time.perf_counter()
+    traj, _ = e.run(scans, odom)
+    np.asarray(traj)
+    report("gmapping", traj, t0)
+
+    graph = pg.PoseGraphConfig(
+        max_keyframes=128, max_edges=512, keyframe_distance=0.7,
+        loop_radius=2.0, min_index_gap=8, min_prob=0.65, max_candidates=4,
+        local_map_size=120, gn_iterations=12,
+    )
+    e = full.FullSlamEngine(
+        full.FullConfig(tracking=tiny.tiny_config(mc_batch=48, mc_rounds=12),
+                        graph=graph),
+        n_beams=n_beams,
+    )
+    e.state = e.state.replace(pose=gt[0])
+    t0 = time.perf_counter()
+    traj = e.run(scans, odom)
+    np.asarray(traj)
+    report("full_posegraph", traj, t0)
+    print(json.dumps({"preset": "full_posegraph_info",
+                      "keyframes": int(e.graph.n_kf),
+                      "loops": e.total_loops}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

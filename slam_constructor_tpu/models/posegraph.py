@@ -48,7 +48,12 @@ class PoseGraphConfig:
     #: ``min_index_gap`` keyframes older, matched above ``min_prob``
     loop_radius: float = 2.0
     min_index_gap: int = 10
-    min_prob: float = 0.6
+    min_prob: float = 0.65
+    #: reject loop matches implying a pose correction larger than this
+    #: (perceptual-aliasing gate: corridor-like environments produce
+    #: high-scoring matches at wrong translations)
+    max_loop_correction_xy: float = 1.5
+    max_loop_correction_theta: float = 0.5
     #: max loop candidates scored per keyframe (batch width)
     max_candidates: int = 8
     #: local map rendered around an old keyframe for loop matching
@@ -64,6 +69,10 @@ class PoseGraphConfig:
     loop_info: tuple = (50.0, 50.0, 200.0)
     gn_iterations: int = 10
     gn_damping: float = 1e-4
+    #: Huber robust kernel threshold on per-edge chi (sqrt of weighted
+    #: squared residual) for LOOP edges; outlier loops get down-weighted
+    #: instead of dragging the graph. <= 0 disables.
+    huber_delta: float = 1.0
 
 
 @struct.dataclass
@@ -75,6 +84,7 @@ class PoseGraphState:
     edge_j: Array  # i32[E]
     edge_delta: Array  # f32[E, 3] measured j in i's frame
     edge_info: Array  # f32[E, 3] diagonal information
+    edge_is_loop: Array  # bool[E] loop-closure edge (robust-kernel scope)
     n_edges: Array  # i32[]
     #: index of the last added keyframe (tracking chain tail)
     last_kf: Array  # i32[]
@@ -95,6 +105,7 @@ def init_state(cfg: PoseGraphConfig, n_beams: int) -> PoseGraphState:
         edge_j=jnp.zeros((e,), jnp.int32),
         edge_delta=jnp.zeros((e, 3), jnp.float32),
         edge_info=jnp.zeros((e, 3), jnp.float32),
+        edge_is_loop=jnp.zeros((e,), bool),
         n_edges=jnp.int32(0),
         last_kf=jnp.int32(-1),
     )
@@ -107,13 +118,14 @@ def should_add_keyframe(cfg: PoseGraphConfig, st: PoseGraphState, pose: Array) -
     return no_kf | far
 
 
-def _append_edge(st: PoseGraphState, i, j, delta, info) -> PoseGraphState:
+def _append_edge(st: PoseGraphState, i, j, delta, info, is_loop=False) -> PoseGraphState:
     e = st.n_edges
     return st.replace(
         edge_i=st.edge_i.at[e].set(i),
         edge_j=st.edge_j.at[e].set(j),
         edge_delta=st.edge_delta.at[e].set(delta),
         edge_info=st.edge_info.at[e].set(jnp.asarray(info, jnp.float32)),
+        edge_is_loop=st.edge_is_loop.at[e].set(is_loop),
         n_edges=jnp.minimum(e + 1, st.edge_i.shape[0]),
     )
 
@@ -187,12 +199,20 @@ def detect_loops(
         return res.pose, res.prob
 
     poses_m, probs = jax.vmap(match_cand)(cand)
-    accept = cand_ok & (probs > cfg.min_prob)
+    # perceptual-aliasing gate: the matched pose must stay near the current
+    # estimate — high-score matches at wrong translations are rejected
+    corr = poses_m - pose[None, :]
+    corr_ok = (
+        (jnp.linalg.norm(corr[:, :2], axis=-1) <= cfg.max_loop_correction_xy)
+        & (jnp.abs(wrap_angle(corr[:, 2])) <= cfg.max_loop_correction_theta)
+    )
+    accept = cand_ok & (probs > cfg.min_prob) & corr_ok
 
     def add_one(i, s):
         def do(s):
             delta = between(s.kf_poses[cand[i]], poses_m[i])
-            return _append_edge(s, cand[i], kf_idx, delta, cfg.loop_info)
+            return _append_edge(s, cand[i], kf_idx, delta, cfg.loop_info,
+                                is_loop=True)
 
         return jax.lax.cond(accept[i], do, lambda s: s, s)
 
@@ -227,9 +247,14 @@ def optimize(cfg: PoseGraphConfig, st: PoseGraphState) -> PoseGraphState:
     e_mask = (e_idx < st.n_edges).astype(jnp.float32)
 
     def gn_iter(_, poses):
-        def per_edge(i, j, z, info, m):
+        def per_edge(i, j, z, info, m, is_loop):
             e, ji, jj = _edge_residual_jac(poses[i], poses[j], z)
             w = info * m  # (3,) diagonal information, masked
+            if cfg.huber_delta > 0:
+                # Huber robust kernel on LOOP edges: w *= min(1, delta/chi)
+                chi = jnp.sqrt(jnp.maximum((w * e * e).sum(), 1e-12))
+                rw = jnp.minimum(1.0, cfg.huber_delta / chi)
+                w = w * jnp.where(is_loop, rw, 1.0)
             hii = ji.T * w @ ji
             hij = ji.T * w @ jj
             hjj = jj.T * w @ jj
@@ -238,7 +263,8 @@ def optimize(cfg: PoseGraphConfig, st: PoseGraphState) -> PoseGraphState:
             return hii, hij, hjj, bi, bj
 
         hii, hij, hjj, bi, bj = jax.vmap(per_edge)(
-            st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask
+            st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask,
+            st.edge_is_loop,
         )
         h = jnp.zeros((n_dof, n_dof))
         b = jnp.zeros((n_dof,))

@@ -22,8 +22,8 @@ def tiny_config(
     hole_width: float = 0.3,
     mc_batch: int = 64,
     mc_rounds: int = 12,
-    sigma_xy: float = 0.15,
-    sigma_theta: float = 0.08,
+    sigma_xy: float = 0.08,
+    sigma_theta: float = 0.05,
     scoring_cfg: scoring.ScoringConfig | None = None,
 ) -> EngineConfig:
     if scoring_cfg is None:

@@ -30,14 +30,18 @@ def viny_config(
         cell_model=cells.TBMCell(quality=quality, conflict_decay=conflict_decay),
         matcher="monte_carlo",
         matcher_cfg=matchers.MonteCarloConfig(
-            sigma_xy=0.12,
-            sigma_theta=0.06,
+            sigma_xy=0.08,
+            sigma_theta=0.05,
             batch=mc_batch,
             rounds=mc_rounds,
             scoring=scoring_cfg,
         ),
+        # const endpoint evidence + symmetric wall blur tracks best with
+        # TBM cells (the area estimator's fractional weights under-evidence
+        # walls against the strong free-space counts); 'area' remains a
+        # config choice for the estimator-parity matrix
         beam=raycast.BeamConfig(
-            occupancy_estimator="area", hole_width=hole_width
+            occupancy_estimator="const", hole_width=hole_width, wall_blur=True
         ),
         map_height=map_size,
         map_width=map_size,

@@ -27,20 +27,25 @@ Array = jax.Array
 
 def _partial_normal_equations(
     poses: Array, ei: Array, ej: Array, ez: Array, einfo: Array, emask: Array,
-    kmax: int,
+    eloop: Array, kmax: int, huber_delta: float,
 ):
-    """Assemble H, b from a shard of edges (same math as posegraph.optimize)."""
+    """Assemble H, b from a shard of edges (same math as posegraph.optimize,
+    including the Huber robust kernel on loop edges)."""
     n_dof = 3 * kmax
 
-    def per_edge(i, j, z, info, m):
+    def per_edge(i, j, z, info, m, is_loop):
         e, ji, jj = pg._edge_residual_jac(poses[i], poses[j], z)
         w = info * m
+        if huber_delta > 0:
+            chi = jnp.sqrt(jnp.maximum((w * e * e).sum(), 1e-12))
+            rw = jnp.minimum(1.0, huber_delta / chi)
+            w = w * jnp.where(is_loop, rw, 1.0)
         return (
             ji.T * w @ ji, ji.T * w @ jj, jj.T * w @ jj,
             ji.T @ (w * e), jj.T @ (w * e),
         )
 
-    hii, hij, hjj, bi, bj = jax.vmap(per_edge)(ei, ej, ez, einfo, emask)
+    hii, hij, hjj, bi, bj = jax.vmap(per_edge)(ei, ej, ez, einfo, emask, eloop)
     h = jnp.zeros((n_dof, n_dof))
     b = jnp.zeros((n_dof,))
     r3 = jnp.arange(3)
@@ -79,9 +84,9 @@ def distributed_optimize(
     e_mask = (e_idx < st.n_edges).astype(jnp.float32)
 
     def gn_iter(_, poses):
-        def kernel(ei, ej, ez, einfo, emask):
+        def kernel(ei, ej, ez, einfo, emask, eloop):
             h_p, b_p = _partial_normal_equations(
-                poses, ei, ej, ez, einfo, emask, kmax
+                poses, ei, ej, ez, einfo, emask, eloop, kmax, cfg.huber_delta
             )
             h = jax.lax.psum(h_p, axis)
             b = jax.lax.psum(b_p, axis)
@@ -90,10 +95,11 @@ def distributed_optimize(
         h, b = shard_map(
             kernel,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(None), P(None)),
             check_vma=False,
-        )(st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask)
+        )(st.edge_i, st.edge_j, st.edge_delta, st.edge_info, e_mask,
+          st.edge_is_loop)
         h, b = h[0], b[0]
 
         kf_used = (jnp.arange(kmax) < st.n_kf) & (jnp.arange(kmax) > 0)
