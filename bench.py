@@ -28,11 +28,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _tpu_responsive(timeout_s: float = 90.0) -> bool:
+    """Probe TPU health in a subprocess: the axon tunnel sometimes hangs
+    compute indefinitely while still listing the device; a hung probe must
+    not take the benchmark down with it."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print(float(np.asarray(jnp.ones((64,64))@jnp.ones((64,64)))[0,0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     n_scans = int(os.environ.get("SLAM_BENCH_SCANS", 256))
     n_beams = int(os.environ.get("SLAM_BENCH_BEAMS", 360))
     map_size = int(os.environ.get("SLAM_BENCH_MAP", 256))
     preset = os.environ.get("SLAM_BENCH_PRESET", "tiny")
+
+    backend = "device"
+    if not os.environ.get("SLAM_BENCH_NO_PROBE") and not _tpu_responsive():
+        # hung/unavailable accelerator: fall back to CPU rather than hang
+        jax.config.update("jax_platforms", "cpu")
+        backend = "cpu-fallback"
 
     from slam_constructor_tpu.models import engine as eng
     from slam_constructor_tpu.models import gmapping, tiny, viny
@@ -91,6 +118,7 @@ def main():
                 "value": round(sps, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(sps / 40.0, 2),
+                "backend": f"{backend}:{jax.default_backend()}",
             }
         )
     )
