@@ -47,9 +47,13 @@ class GMappingConfig:
     map_height: int = 256
     map_width: int = 256
     map_scale: float = 0.1
-    #: odometry proposal noise (sampled per particle, the RBPF proposal)
+    #: odometry proposal noise (sampled per particle, the RBPF proposal):
+    #: sigma = base + alpha * |odom component| (GMapping-style motion model
+    #: — fast motion gets proportionally more proposal spread)
     noise_xy: float = 0.03
     noise_theta: float = 0.015
+    alpha_xy: float = 0.1
+    alpha_theta: float = 0.1
     #: resample when Neff < frac * P
     resample_threshold: float = 0.5
     #: sharpness of the weight update: logw += gamma * log(prob)
@@ -120,10 +124,11 @@ def gmapping_step(
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
 
-    # 1. proposal: odometry + per-particle noise
-    noise = jax.random.normal(k_noise, (p, 3)) * jnp.array(
-        [cfg.noise_xy, cfg.noise_xy, cfg.noise_theta]
-    )
+    # 1. proposal: odometry + per-particle motion-model noise
+    base = jnp.array([cfg.noise_xy, cfg.noise_xy, cfg.noise_theta])
+    alpha = jnp.array([cfg.alpha_xy, cfg.alpha_xy, cfg.alpha_theta])
+    sigma = base + alpha * jnp.abs(odom_delta)
+    noise = jax.random.normal(k_noise, (p, 3)) * sigma
     priors = compose(state.poses, odom_delta[None, :] + noise)
 
     keys = jax.random.split(k_match, p)

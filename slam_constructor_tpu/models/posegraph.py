@@ -73,6 +73,10 @@ class PoseGraphConfig:
     #: squared residual) for LOOP edges; outlier loops get down-weighted
     #: instead of dragging the graph. <= 0 disables.
     huber_delta: float = 1.0
+    #: estimate loop-edge information from the match score curvature
+    #: (degenerate directions — e.g. along a corridor — get low weight)
+    #: instead of the fixed ``loop_info`` diagonal
+    estimate_loop_info: bool = True
 
 
 @struct.dataclass
@@ -196,9 +200,17 @@ def detect_loops(
         res = matcherslib.brute_force_match(
             view, scan, pose, None, cfg.loop_matcher
         )
-        return res.pose, res.prob
+        if cfg.estimate_loop_info:
+            info = scoring.estimate_information(
+                view, scan, res.pose, cfg.loop_matcher.scoring
+            )
+            base = jnp.asarray(cfg.loop_info, jnp.float32)
+            info = jnp.clip(info, 0.1 * base, 10.0 * base)
+        else:
+            info = jnp.asarray(cfg.loop_info, jnp.float32)
+        return res.pose, res.prob, info
 
-    poses_m, probs = jax.vmap(match_cand)(cand)
+    poses_m, probs, infos = jax.vmap(match_cand)(cand)
     # perceptual-aliasing gate: the matched pose must stay near the current
     # estimate — high-score matches at wrong translations are rejected
     corr = poses_m - pose[None, :]
@@ -211,7 +223,7 @@ def detect_loops(
     def add_one(i, s):
         def do(s):
             delta = between(s.kf_poses[cand[i]], poses_m[i])
-            return _append_edge(s, cand[i], kf_idx, delta, cfg.loop_info,
+            return _append_edge(s, cand[i], kf_idx, delta, infos[i],
                                 is_loop=True)
 
         return jax.lax.cond(accept[i], do, lambda s: s, s)

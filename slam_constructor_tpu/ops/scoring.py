@@ -254,3 +254,32 @@ def _weighted_mean(point_p, scan, cfg, point_weights):
 
 def score_single(view, scan, pose, cfg=ScoringConfig(), point_weights=None):
     return score_poses(view, scan, pose[None, :], cfg, point_weights)[0]
+
+
+def estimate_information(
+    view: MapView,
+    scan: scanlib.LaserScan,
+    pose: Array,
+    cfg: ScoringConfig = ScoringConfig(),
+    eps: tuple = (0.04, 0.04, 0.02),
+) -> Array:
+    """Diagonal information (inverse covariance) of a match from the local
+    curvature of the score surface at ``pose``.
+
+    Central second differences per axis (one batched 7-pose score call);
+    the score (mean per-beam probability) is scaled by the valid-beam count
+    to approximate a log-likelihood, so sharper peaks and denser scans both
+    raise confidence. Negative curvature directions (degenerate, e.g. along
+    a corridor) floor at a small positive value — exactly the axes a
+    pose-graph solver should trust least.
+    """
+    e = jnp.asarray(eps, jnp.float32)
+    offs = jnp.concatenate(
+        [jnp.zeros((1, 3)), jnp.diag(e), -jnp.diag(e)], axis=0
+    )  # [7, 3]
+    probs = score_poses(view, scan, pose[None, :] + offs, cfg)
+    s0, sp, sm = probs[0], probs[1:4], probs[4:7]
+    curv = -(sp - 2.0 * s0 + sm) / (e * e)  # positive at a peak
+    n = jnp.maximum(scan.valid.sum().astype(jnp.float32), 1.0)
+    info = n * curv / jnp.maximum(s0, 1e-3)
+    return jnp.clip(info, 1.0, 1e5)

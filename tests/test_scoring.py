@@ -76,3 +76,14 @@ def test_score_is_jittable(setup):
     f = jax.jit(lambda v, sc, p: scoring.score_poses(v, sc, p, cfg))
     out = f(view, s, true_pose[None])
     assert out.shape == (1,)
+
+
+def test_estimate_information_degeneracy(setup):
+    """Curvature-based match information: sharper in constrained directions,
+    flat directions floor low."""
+    view, s, true_pose = setup
+    info = scoring.estimate_information(view, s, true_pose)
+    assert info.shape == (3,)
+    assert bool((info >= 1.0).all())
+    # a cluttered box world constrains all three axes reasonably
+    assert float(info.min()) > 1.0
