@@ -177,7 +177,11 @@ def to_sequence(
     odom_poses = jnp.asarray(log.odom_poses[::scan_stride], jnp.float32)
 
     scans = make_scan(
-        jnp.asarray(ranges), jnp.asarray(bearings), min_range, max_range
+        jnp.asarray(ranges),
+        # batched [T, R] scan pytree (lax.scan needs a uniform leading axis)
+        jnp.broadcast_to(jnp.asarray(bearings), ranges.shape),
+        min_range,
+        max_range,
     )
     deltas = between(odom_poses[:-1], odom_poses[1:])
     odom = jnp.concatenate([jnp.zeros((1, 3)), deltas], axis=0)
