@@ -59,6 +59,10 @@ class PoseGraphConfig:
     #: local map rendered around an old keyframe for loop matching
     local_map_size: int = 96
     local_map_scale: float = 0.1
+    #: render the candidate keyframe's scan plus +-submap_radius neighbor
+    #: keyframes into the local map (submap matching: richer structure,
+    #: better loop deltas than single-scan maps)
+    submap_radius: int = 1
     #: matcher used to refine loop-closure relative poses
     loop_matcher: matcherslib.BruteForceConfig = matcherslib.BruteForceConfig(
         half_x=0.6, half_y=0.6, half_theta=0.3, n_x=9, n_y=9, n_theta=9,
@@ -162,16 +166,31 @@ def add_keyframe(
 # --- loop closure -----------------------------------------------------------
 
 
-def _render_local_map(cfg: PoseGraphConfig, model, kf_pose: Array, kf_scan: LaserScan):
+def _render_local_map(
+    cfg: PoseGraphConfig, model, st: PoseGraphState, ci: Array
+):
+    """Submap around keyframe ``ci``: its scan plus +-submap_radius
+    neighbors inserted at their current pose estimates."""
     n = cfg.local_map_size
+    center = st.kf_poses[ci]
     gm = gridlib.GridMap(
         cells=gridlib.make_grid_map(model, n, n, cfg.local_map_scale).cells,
-        origin=kf_pose[:2] - n * cfg.local_map_scale / 2.0,
+        origin=center[:2] - n * cfg.local_map_scale / 2.0,
         scale=cfg.local_map_scale,
     )
-    return raycast.insert_scan(
-        gm, model, kf_pose, kf_scan, raycast.BeamConfig(wall_blur=True)
-    )
+
+    def insert_one(k, g):
+        idx = ci + k - cfg.submap_radius
+        ok = (idx >= 0) & (idx < st.n_kf)
+        idx_c = jnp.clip(idx, 0, cfg.max_keyframes - 1)
+        kf_scan = jax.tree.map(lambda a: a[idx_c], st.kf_scans)
+        kf_scan = kf_scan.replace(valid=kf_scan.valid & ok)
+        return raycast.insert_scan(
+            g, model, st.kf_poses[idx_c], kf_scan,
+            raycast.BeamConfig(wall_blur=True),
+        )
+
+    return jax.lax.fori_loop(0, 2 * cfg.submap_radius + 1, insert_one, gm)
 
 
 def detect_loops(
@@ -193,9 +212,7 @@ def detect_loops(
     cand_ok = ok[cand]
 
     def match_cand(ci):
-        kf_pose = st.kf_poses[ci]
-        kf_scan = jax.tree.map(lambda a: a[ci], st.kf_scans)
-        gm = _render_local_map(cfg, model, kf_pose, kf_scan)
+        gm = _render_local_map(cfg, model, st, ci)
         view = scoring.MapView.of(gm, model)
         res = matcherslib.brute_force_match(
             view, scan, pose, None, cfg.loop_matcher
