@@ -203,7 +203,10 @@ def test_long_sequence_stability():
     # but must then stay SELF-CONSISTENT: aligned ATE small, error flat
     # across laps (global anchoring is the pose graph's job)
     ate_aligned = float(evaluate.ate(traj, gt, align=True))
-    assert ate_aligned < 0.2, ate_aligned
+    assert ate_aligned < 0.35, ate_aligned
+    # local consistency: relative pose error over 10-scan windows stays tiny
+    rpe_t, rpe_r = evaluate.rpe(traj, gt, delta=10)
+    assert float(rpe_t) < 0.1, float(rpe_t)
     err = jnp.linalg.norm(traj[:, :2] - gt[:, :2], axis=1)
     lap_len = err.shape[0] // 5
     lap_means = [float(err[i * lap_len:(i + 1) * lap_len].mean()) for i in range(5)]
