@@ -36,10 +36,19 @@ def build_engine(args, n_beams: int):
 
         return Engine(cfglib.engine_config_from(props)), "engine"
     preset = args.preset
-    if preset == "tiny":
-        return tiny.make_engine(map_size=args.map_size), "engine"
-    if preset == "viny":
-        return viny.make_engine(map_size=args.map_size), "engine"
+    if preset in ("tiny", "viny"):
+        mk = tiny.tiny_config if preset == "tiny" else viny.viny_config
+        cfg = mk(map_size=args.map_size)
+        if args.map_storage == "tiled":
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, map_storage="tiled",
+                tile_capacity=(args.map_size // 32) ** 2,
+            )
+        from .models.engine import Engine
+
+        return Engine(cfg), "engine"
     if preset == "gmapping":
         return (
             gmapping.GMappingEngine(
@@ -98,6 +107,7 @@ def main(argv=None):
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--odom-noise", type=float, default=0.01)
     ap.add_argument("--map-size", type=int, default=256)
+    ap.add_argument("--map-storage", default="dense", choices=["dense", "tiled"])
     ap.add_argument("--particles", type=int, default=30)
     ap.add_argument("--beam-stride", type=int, default=1)
     ap.add_argument("--scan-stride", type=int, default=1)
