@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import grid as gridlib
-from ..ops import raycast
 from ..ops.geometry import between, compose
 from ..ops.scan import LaserScan
 from . import posegraph as pg

@@ -22,8 +22,6 @@ BASELINE.json configs[3], new in this build). Design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -31,7 +29,7 @@ from flax import struct
 from ..ops import grid as gridlib
 from ..ops import matchers as matcherslib
 from ..ops import raycast, scoring
-from ..ops.geometry import between, compose, pose_distance, wrap_angle
+from ..ops.geometry import between, pose_distance, wrap_angle
 from ..ops.scan import LaserScan
 
 Array = jax.Array

@@ -8,8 +8,6 @@ annealing, plain occupancy grid, Bayes cell models (``BaseTinyCell`` /
 
 from __future__ import annotations
 
-import dataclasses
-
 from ..ops import cells, matchers, raycast, scoring
 from .engine import Engine, EngineConfig
 

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import grid as gridlib
-from . import scan as scanlib
 
 Array = jax.Array
 

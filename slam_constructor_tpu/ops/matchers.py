@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import scoring
-from .geometry import compose, wrap_angle
+from .geometry import wrap_angle
 
 Array = jax.Array
 

@@ -12,8 +12,6 @@ factored. Runs at loop-closure rate, so the psum may cross DCN.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -15,8 +15,6 @@ scorer for any window radius <= halo.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -211,3 +211,19 @@ def test_long_sequence_stability():
     lap_len = err.shape[0] // 5
     lap_means = [float(err[i * lap_len:(i + 1) * lap_len].mean()) for i in range(5)]
     assert lap_means[4] < lap_means[1] + 0.15, lap_means  # no divergence
+
+
+@pytest.mark.slow
+def test_sensor_noise_robustness():
+    """Tracking holds with realistic range noise (2cm sigma per beam)."""
+    occ, origin, scale = datagen.cecum_world()
+    poses = jnp.tile(datagen.rectangle_trajectory(step=0.3), (2, 1))
+    bearings = datagen.default_bearings(120)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(42),
+        odom_noise_xy=0.02, odom_noise_theta=0.012, range_noise=0.02,
+    )
+    e = tiny.make_engine(mc_batch=48, mc_rounds=12)
+    e.state = e.state.replace(pose=gt[0])
+    traj, _ = e.run(scans, odom)
+    assert float(evaluate.ate(traj, gt, align=False)) < 0.2
