@@ -33,8 +33,16 @@ from ..ops import cells as cellslib
 from ..ops import grid as gridlib
 from ..ops import matchers as matcherslib
 from ..ops import raycast, scoring
-from ..ops.geometry import compose
+from ..ops.geometry import apply_pose, compose
 from ..ops.scan import LaserScan
+
+
+def apply_pose_np(pose, pts, valid):
+    """Valid world-frame scan endpoints (host-side helper for map growth)."""
+    import numpy as np
+
+    world = np.asarray(apply_pose(pose, pts))
+    return world[np.asarray(valid)]
 
 Array = jax.Array
 
@@ -195,9 +203,30 @@ class Engine:
 
     def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
         """Online mode: one scan at a time (ROS-callback equivalent)."""
+        if self.auto_grow and self.cfg.map_storage == "dense":
+            self._maybe_grow(scan)
         self.state = self._step(self.state, scan, odom_delta)
         self.trajectory.append(self.state.pose)
         return self.state.pose
+
+    #: grow the dense map when the scan's reach leaves the current extent
+    #: (the UnboundedPlainGridMap capability as a host-side re-shard event;
+    #: triggers an XLA recompile, so growth adds a margin to stay rare)
+    auto_grow: bool = False
+
+    def _maybe_grow(self, scan: LaserScan) -> None:
+        import numpy as np
+
+        from ..ops.scan import scan_points
+
+        pts = np.asarray(
+            apply_pose_np(self.state.pose, scan_points(scan), scan.valid)
+        )
+        if pts.size == 0:
+            return
+        self.state = self.state.replace(
+            gm=gridlib.grow_to_contain(self.state.gm, self.cfg.cell_model, pts)
+        )
 
     def run(self, scans: LaserScan, odom: Array):
         """Offline mode: whole sequence in one device dispatch."""

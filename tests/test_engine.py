@@ -227,3 +227,19 @@ def test_sensor_noise_robustness():
     e.state = e.state.replace(pose=gt[0])
     traj, _ = e.run(scans, odom)
     assert float(evaluate.ate(traj, gt, align=False)) < 0.2
+
+
+def test_auto_grow_unbounded(sequence):
+    """Online engine grows the dense map when the scan reach leaves it
+    (UnboundedPlainGridMap capability)."""
+    scans, odom, gt = sequence
+    cfg = tiny.tiny_config(map_size=64, map_scale=0.1, mc_batch=8, mc_rounds=4)
+    e = eng.Engine(cfg)  # 6.4m map; cecum world is 14.4m wide
+    e.auto_grow = True
+    e.state = e.state.replace(pose=gt[0])
+    h0, w0 = e.state.gm.height, e.state.gm.width
+    for i in range(3):
+        e.handle_scan(jax.tree.map(lambda a: a[i], scans), odom[i])
+    assert e.state.gm.height > h0 or e.state.gm.width > w0
+    # still tracks after growth
+    assert float(jnp.linalg.norm(e.state.pose[:2] - gt[2][:2])) < 0.5
