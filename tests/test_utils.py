@@ -206,3 +206,25 @@ def test_step_timer():
         with t:
             pass
     assert t.summary()["steps"] == 3
+
+
+def test_same_seed_bitwise_reproducibility():
+    """Two identical runs produce bit-identical trajectories and maps
+    (deterministic reductions + explicit PRNG threading — SURVEY.md §5)."""
+    from slam_constructor_tpu.models import tiny
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    poses = datagen.corridor_trajectory(8)
+    bearings = datagen.default_bearings(60)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(5)
+    )
+    outs = []
+    for _ in range(2):
+        e = tiny.make_engine(map_size=96, mc_batch=16, mc_rounds=6)
+        e.state = e.state.replace(pose=gt[0])
+        traj, _ = e.run(scans, odom)
+        outs.append((np.asarray(traj), np.asarray(e.state.gm.cells)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
