@@ -101,3 +101,39 @@ def test_fractional_weight_is_smooth():
 
 def test_registry():
     assert set(cells.CELL_MODELS) == {"bayes_base", "bayes_avg", "tbm"}
+
+
+def test_tbm_forgets_dynamic_objects_faster_than_avg():
+    """vinySLAM's headline property: when a mapped obstacle disappears, the
+    TBM cell's conflict mechanism clears it within ~1 contradicting scan,
+    while the running-average Bayes cell clings to stale evidence."""
+    import jax.numpy as jnp
+
+    from slam_constructor_tpu.ops import grid, raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ_with, origin, scale = datagen.box_world(8.0, 0.1, obstacles=0)
+    occ_with = occ_with.at[45:50, 38:42].set(1.0)  # box 0.5m ahead
+    occ_without, _, _ = datagen.box_world(8.0, 0.1, obstacles=0)
+    bearings = datagen.default_bearings(180)
+    pose = jnp.zeros(3)
+
+    after = {}
+    for name, model in [
+        ("avg", cells.BayesAvgCell()),
+        ("tbm", cells.TBMCell(quality=0.5, conflict_decay=0.2)),
+    ]:
+        gm = grid.make_grid_map(model, 80, 80, 0.1)
+        cfg = raycast.BeamConfig()
+        for _ in range(8):  # obstacle present
+            s = raycast.cast_rays(occ_with, origin, scale, pose, bearings)
+            gm = raycast.insert_scan(gm, model, pose, s, cfg)
+        assert float(grid.occupancy_plane(gm, model)[45, 39]) > 0.9
+        for _ in range(2):  # obstacle gone
+            s = raycast.cast_rays(occ_without, origin, scale, pose, bearings)
+            gm = raycast.insert_scan(gm, model, pose, s, cfg)
+        after[name] = float(grid.occupancy_plane(gm, model)[45, 39])
+
+    assert after["tbm"] < 0.5, after  # cleared
+    assert after["avg"] > 0.7, after  # still clinging
+    assert after["tbm"] < after["avg"] - 0.2
