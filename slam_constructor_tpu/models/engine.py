@@ -135,9 +135,15 @@ def _point_weights(cfg: EngineConfig, scan: LaserScan) -> Array | None:
 
 
 def slam_step(
-    cfg: EngineConfig, state: SlamState, scan: LaserScan, odom_delta: Array
+    cfg: EngineConfig, state: SlamState, scan: LaserScan, odom_delta: Array,
+    quality: Array | float = 1.0,
 ) -> SlamState:
-    """One scan: match then map (reference hot path, SURVEY.md §3.2)."""
+    """One scan: match then map (reference hot path, SURVEY.md §3.2).
+
+    ``quality`` scales this scan's observation weight (the reference's
+    TransformedLaserScan quality: low-confidence scans update the map
+    weakly without being dropped).
+    """
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     prior = compose(state.pose, odom_delta)
     key, sub = jax.random.split(state.key)
@@ -161,11 +167,9 @@ def slam_step(
             state.gm, res.pose, scan, cfg.beam
         )
         do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
+        q = jnp.where(do_insert, jnp.asarray(quality, jnp.float32), 0.0)
         gm = gridlib.apply_observations(
-            state.gm,
-            cfg.cell_model,
-            jnp.where(do_insert, w_obs, 0.0),
-            jnp.where(do_insert, s_obs, 0.0),
+            state.gm, cfg.cell_model, q * w_obs, q * s_obs
         )
     return SlamState(
         gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob
@@ -201,11 +205,13 @@ class Engine:
         self._step = jax.jit(partial(slam_step, cfg))
         self.trajectory: list = []
 
-    def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
+    def handle_scan(
+        self, scan: LaserScan, odom_delta: Array, quality: float = 1.0
+    ) -> Array:
         """Online mode: one scan at a time (ROS-callback equivalent)."""
         if self.auto_grow and self.cfg.map_storage == "dense":
             self._maybe_grow(scan)
-        self.state = self._step(self.state, scan, odom_delta)
+        self.state = self._step(self.state, scan, odom_delta, quality)
         self.trajectory.append(self.state.pose)
         return self.state.pose
 
