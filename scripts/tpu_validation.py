@@ -11,8 +11,13 @@ Usage: timeout 900 python scripts/tpu_validation.py [--quick]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# repo root on sys.path (NOT via PYTHONPATH, which disturbs the axon
+# jax_plugins namespace discovery on this machine)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
