@@ -22,3 +22,23 @@ Layer map (mirrors SURVEY.md §1, re-architected array-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience API (avoids importing jax at package
+    import time): ``slam_constructor_tpu.tiny_engine()`` etc."""
+    makers = {
+        "tiny_engine": ("models.tiny", "make_engine"),
+        "viny_engine": ("models.viny", "make_engine"),
+        "gmapping_engine": ("models.gmapping", "GMappingEngine"),
+        "full_engine": ("models.full", "FullSlamEngine"),
+        "preset": ("utils.config", "preset"),
+        "read_carmen": ("utils.dataset", "read_carmen"),
+        "ate": ("utils.evaluate", "ate"),
+    }
+    if name in makers:
+        import importlib
+
+        mod, attr = makers[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)

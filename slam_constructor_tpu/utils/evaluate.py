@@ -44,6 +44,33 @@ def ate(est: Array, gt: Array, align: bool = True) -> Array:
     return jnp.sqrt(((e - g) ** 2).sum(-1).mean())
 
 
+def map_quality(
+    occ_est: Array,
+    occ_gt: Array,
+    occupied_thresh: float = 0.6,
+    free_thresh: float = 0.25,
+) -> dict:
+    """Map-vs-ground-truth metrics on co-registered occupancy planes:
+    occupied-cell IoU, free-space accuracy, and coverage (fraction of
+    ground-truth structure observed). Planes must share extent/scale."""
+    est_occ = occ_est >= occupied_thresh
+    est_free = occ_est <= free_thresh
+    gt_occ = occ_gt >= 0.5
+    inter = jnp.logical_and(est_occ, gt_occ).sum()
+    union = jnp.logical_or(est_occ, gt_occ).sum()
+    iou = inter / jnp.maximum(union, 1)
+    # of the cells the map claims free, how many are truly free
+    free_acc = jnp.logical_and(est_free, ~gt_occ).sum() / jnp.maximum(
+        est_free.sum(), 1
+    )
+    coverage = inter / jnp.maximum(gt_occ.sum(), 1)
+    return {
+        "occupied_iou": float(iou),
+        "free_accuracy": float(free_acc),
+        "coverage": float(coverage),
+    }
+
+
 def rpe(est: Array, gt: Array, delta: int = 1) -> tuple[Array, Array]:
     """Relative pose error over ``delta``-step increments.
     Returns (rmse_translation, rmse_rotation)."""

@@ -243,3 +243,37 @@ def test_auto_grow_unbounded(sequence):
     assert e.state.gm.height > h0 or e.state.gm.width > w0
     # still tracks after growth
     assert float(jnp.linalg.norm(e.state.pose[:2] - gt[2][:2])) < 0.5
+
+
+def test_map_quality_metric(sequence):
+    """Built map scores well against the ground-truth world plane."""
+    scans, odom, gt = sequence
+    from slam_constructor_tpu.utils.datagen import cecum_world
+
+    occ_gt, origin, scale = cecum_world()
+    cfg = tiny.tiny_config(map_size=0)  # placeholder; build exact extent below
+    import dataclasses
+
+    h, w = occ_gt.shape
+    cfg = dataclasses.replace(
+        tiny.tiny_config(), map_height=h, map_width=w, map_scale=scale
+    )
+    e = eng.Engine(cfg)
+    # align engine map exactly onto the gt plane extent
+    e.state = e.state.replace(
+        gm=e.state.gm.replace(origin=jnp.asarray(origin)), pose=gt[0]
+    )
+    e.run(scans, odom)
+    q = evaluate.map_quality(e.occupancy, occ_gt)
+    assert q["free_accuracy"] > 0.95, q
+    assert q["occupied_iou"] > 0.10, q  # corridor pass sees a slice of walls
+    assert 0.0 < q["coverage"] <= 1.0
+
+
+def test_top_level_api():
+    import slam_constructor_tpu as sct
+
+    assert callable(sct.tiny_engine)
+    assert callable(sct.ate)
+    with pytest.raises(AttributeError):
+        sct.nope
