@@ -60,7 +60,10 @@ class FullSlamEngine:
 
         model = t.cell_model
         self._track = jax.jit(partial(slam_step, t))
-        self._should_add = jax.jit(partial(pg.should_add_keyframe, self.cfg.graph))
+        #: host-side copy of the last keyframe pose: the keyframe gate is
+        #: 4 flops — running it on host avoids a device sync per scan (the
+        #: tracking step stays fully async-dispatched between keyframes)
+        self._last_kf_pose_host = None
         self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
         self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
         self._optimize = jax.jit(partial(pg.optimize, self.cfg.graph))
@@ -74,8 +77,10 @@ class FullSlamEngine:
         self.state = self._track(self.state, scan, odom_delta)
         pose = self.state.pose
 
-        if bool(self._should_add(self.graph, pose)):
-            old_last = self.graph.kf_poses[jnp.maximum(self.graph.last_kf, 0)]
+        if self._should_add_host(pose):
+            import numpy as np
+
+            self._last_kf_pose_host = np.asarray(pose)
             self.graph = self._add_kf(self.graph, pose, scan)
             self.graph, n_loops = self._detect(self.graph, scan, pose)
             self.pending_loops += int(n_loops)
@@ -91,6 +96,20 @@ class FullSlamEngine:
             (kf_idx, between(anchor_pose, self.state.pose))
         )
         return self.state.pose
+
+    def _should_add_host(self, pose) -> bool:
+        import numpy as np
+
+        if self._last_kf_pose_host is None:
+            return True
+        p = np.asarray(pose)
+        d = p - self._last_kf_pose_host
+        ang = (d[2] + np.pi) % (2 * np.pi) - np.pi
+        dist = float(
+            np.sqrt(d[0] ** 2 + d[1] ** 2
+                    + (self.cfg.graph.keyframe_angle_weight * ang) ** 2)
+        )
+        return dist > self.cfg.graph.keyframe_distance
 
     def _close_loops(self):
         """Optimize the graph, re-anchor the tracker, regenerate the map."""
@@ -108,6 +127,9 @@ class FullSlamEngine:
         )
         gm = self._regen(self.graph, fresh)
         self.state = self.state.replace(gm=gm, pose=new_pose)
+        import numpy as np
+
+        self._last_kf_pose_host = np.asarray(self.graph.kf_poses[last])
 
     def corrected_trajectory(self) -> jax.Array:
         """Trajectory history re-anchored to the CURRENT (optimized)
