@@ -125,13 +125,15 @@ def should_add_keyframe(cfg: PoseGraphConfig, st: PoseGraphState, pose: Array) -
 
 
 def _append_edge(st: PoseGraphState, i, j, delta, info, is_loop=False) -> PoseGraphState:
-    e = st.n_edges
+    e = st.n_edges  # at capacity the write is dropped, not clipped onto e-1
     return st.replace(
-        edge_i=st.edge_i.at[e].set(i),
-        edge_j=st.edge_j.at[e].set(j),
-        edge_delta=st.edge_delta.at[e].set(delta),
-        edge_info=st.edge_info.at[e].set(jnp.asarray(info, jnp.float32)),
-        edge_is_loop=st.edge_is_loop.at[e].set(is_loop),
+        edge_i=st.edge_i.at[e].set(i, mode="drop"),
+        edge_j=st.edge_j.at[e].set(j, mode="drop"),
+        edge_delta=st.edge_delta.at[e].set(delta, mode="drop"),
+        edge_info=st.edge_info.at[e].set(
+            jnp.asarray(info, jnp.float32), mode="drop"
+        ),
+        edge_is_loop=st.edge_is_loop.at[e].set(is_loop, mode="drop"),
         n_edges=jnp.minimum(e + 1, st.edge_i.shape[0]),
     )
 

@@ -136,3 +136,103 @@ def test_beam_sharded_score_matches_unsharded(reducer):
     m = meshlib.flat_mesh("chips")
     got = halo.beam_sharded_score_poses(view, s, cand, cfg, m)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+# --- region-sharded block-pool map (parallel/blockshard.py) -----------------
+
+
+def _blockshard_fixture(n_scans=3):
+    """Same scans inserted into an unsharded BlockMap and a sharded one."""
+    from slam_constructor_tpu.ops import blockmap
+    from slam_constructor_tpu.parallel import blockshard
+
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=7)
+    bearings = datagen.default_bearings(90)
+    model = cells.BayesAvgCell()
+    beam = raycast.BeamConfig()
+    m = meshlib.flat_mesh("chips")
+    n_dev = len(jax.devices())
+
+    bm = blockmap.make_block_map(
+        model, tiles_h=8, tiles_w=8, capacity=64, block=16, scale=0.1,
+        origin=(-6.4, -6.4),
+    )
+    sbm = blockshard.make_sharded_block_map(
+        model, tiles_h=8, tiles_w=8, capacity_per_shard=16, n_shards=n_dev,
+        block=16, scale=0.1, origin=(-6.4, -6.4),
+    )
+    scans, poses = [], []
+    for i in range(n_scans):
+        p = jnp.array([0.3 * i - 0.3, 0.2 * i, 0.4 * i])
+        s = raycast.cast_rays(occ, origin, scale, p, bearings)
+        bm = blockmap.insert_scan(bm, model, p, s, beam)
+        sbm = blockshard.insert_scan(sbm, model, p, s, beam, m)
+        scans.append(s)
+        poses.append(p)
+    return bm, sbm, model, m, scans, poses
+
+
+def test_blockshard_insert_matches_unsharded_plane():
+    from slam_constructor_tpu.ops import blockmap
+    from slam_constructor_tpu.parallel import blockshard
+
+    bm, sbm, model, m, _, _ = _blockshard_fixture()
+    gm = blockmap.extract_window(
+        bm, model, jnp.zeros(2), bm.table.shape[0], bm.table.shape[1]
+    )
+    want = jnp.where(grid.known_mask(gm), grid.occupancy_plane(gm, model), 0.5)
+    got = blockshard.gather_value_plane(sbm, model, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # blocks live on the band owners: every band with content allocated some
+    assert int(sbm.n_alloc.sum()) == int(bm.n_alloc)
+    assert not bool(sbm.overflowed)
+
+
+@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean"])
+def test_blockshard_score_matches_unsharded(reducer):
+    from slam_constructor_tpu.ops import blockmap
+    from slam_constructor_tpu.parallel import blockshard
+
+    bm, sbm, model, m, scans, poses = _blockshard_fixture()
+    gm = blockmap.extract_window(
+        bm, model, jnp.zeros(2), bm.table.shape[0], bm.table.shape[1]
+    )
+    view = scoring.MapView.of(gm, model)
+    cfg = scoring.ScoringConfig(reducer=reducer, window=1, impl="gather")
+    # candidates spread across shard-boundary rows
+    cand = poses[-1][None, :] + jax.random.normal(
+        jax.random.PRNGKey(9), (16, 3)
+    ) * jnp.array([0.4, 2.0, 0.2])
+    want = scoring.score_poses(view, scans[-1], cand, cfg)
+    got = blockshard.score_poses(sbm, model, scans[-1], cand, cfg, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_blockshard_jit_and_sharding_specs():
+    """insert + score compile under jit with explicit device placement."""
+    from slam_constructor_tpu.parallel import blockshard
+
+    model = cells.BayesAvgCell()
+    m = meshlib.flat_mesh("chips")
+    n_dev = len(jax.devices())
+    sbm = blockshard.make_sharded_block_map(
+        model, tiles_h=8, tiles_w=8, capacity_per_shard=8, n_shards=n_dev,
+        block=16, scale=0.1,
+    )
+    sbm = blockshard.place(sbm, m)
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    p = jnp.zeros(3)
+    s = raycast.cast_rays(occ, origin, scale, p, bearings)
+    beam = raycast.BeamConfig()
+    step = jax.jit(
+        lambda st, pose, sc: blockshard.insert_scan(st, model, pose, sc, beam, m)
+    )
+    sbm = step(sbm, p, s)
+    sbm = step(sbm, p + jnp.array([0.1, 0.0, 0.05]), s)
+    cfg = scoring.ScoringConfig(reducer="mean", window=1)
+    probs = jax.jit(
+        lambda st, sc, cand: blockshard.score_poses(st, model, sc, cand, cfg, m)
+    )(sbm, s, p[None, :] + jnp.zeros((4, 3)))
+    assert probs.shape == (4,)
+    assert bool(jnp.isfinite(probs).all())
