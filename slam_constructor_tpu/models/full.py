@@ -35,6 +35,10 @@ class FullConfig:
     graph: pg.PoseGraphConfig = pg.PoseGraphConfig()
     #: re-optimize + regenerate map every time this many loops accumulate
     optimize_every_loops: int = 1
+    #: before each optimize, run ``posegraph.densify_loops`` this many times
+    #: (each pass proposes up to graph.max_candidates new pair constraints
+    #: between mid-trajectory keyframes; 0 disables)
+    densify_rounds: int = 1
 
     def __post_init__(self):
         if self.tracking is None:
@@ -66,6 +70,7 @@ class FullSlamEngine:
         self._last_kf_pose_host = None
         self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
         self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
+        self._densify = jax.jit(partial(pg.densify_loops, self.cfg.graph, model))
         self._optimize = jax.jit(partial(pg.optimize, self.cfg.graph))
         self._regen = jax.jit(
             partial(
@@ -115,6 +120,11 @@ class FullSlamEngine:
         """Optimize the graph, re-anchor the tracker, regenerate the map."""
         last = self.graph.last_kf
         before = self.graph.kf_poses[last]
+        for _ in range(self.cfg.densify_rounds):
+            self.graph, n_new = self._densify(self.graph)
+            self.total_loops += int(n_new)
+            if int(n_new) == 0:
+                break
         self.graph = self._optimize(self.graph)
         after = self.graph.kf_poses[last]
         # re-anchor tracking pose: keep the offset from the last keyframe

@@ -248,6 +248,87 @@ def detect_loops(
     return jax.lax.fori_loop(0, cfg.max_candidates, add_one, st), accept.sum()
 
 
+def densify_loops(
+    cfg: PoseGraphConfig, model, st: PoseGraphState
+) -> tuple[PoseGraphState, Array]:
+    """Propose loop closures over ALL keyframe pairs, not just the newest.
+
+    ``detect_loops`` only matches the tracking tail, so a trajectory that
+    closes one big loop gets endpoint constraints while mid-loop keyframes
+    keep their accumulated drift (DESIGN.md §7). This pass runs at optimize
+    rate: for every keyframe j, find its nearest index-distant keyframe i,
+    drop pairs already constrained by a loop edge, take the
+    ``max_candidates`` closest pairs, and score them with the same batched
+    submap brute-force match + aliasing gates as ``detect_loops``. Fixed
+    shapes throughout (one [K, K] distance matrix, masked argsort, one vmap
+    dispatch)."""
+    kmax = cfg.max_keyframes
+    idxs = jnp.arange(kmax)
+    xy = st.kf_poses[:, :2]
+    dist = jnp.linalg.norm(xy[None, :, :] - xy[:, None, :], axis=-1)  # [i, j]
+    in_use = idxs < st.n_kf
+    pair_ok = (
+        in_use[:, None]
+        & in_use[None, :]
+        & (idxs[:, None] <= idxs[None, :] - cfg.min_index_gap)
+        & (dist < cfg.loop_radius)
+    )
+    # drop pairs already constrained by a loop edge (either direction)
+    e_active = jnp.arange(st.edge_i.shape[0]) < st.n_edges
+    has_edge = jnp.zeros((kmax, kmax), bool)
+    ei = jnp.where(e_active & st.edge_is_loop, st.edge_i, kmax)
+    ej = jnp.where(e_active & st.edge_is_loop, st.edge_j, kmax)
+    has_edge = has_edge.at[ei, ej].set(True, mode="drop")
+    has_edge = has_edge.at[ej, ei].set(True, mode="drop")
+    pair_ok = pair_ok & ~has_edge
+
+    # one candidate i per j (the closest), then the closest max_candidates js
+    best_i = jnp.argmin(jnp.where(pair_ok, dist, jnp.inf), axis=0)  # [K]
+    j_ok = pair_ok[best_i, idxs]
+    j_dist = dist[best_i, idxs]
+    order = jnp.argsort(jnp.where(j_ok, j_dist, jnp.inf))
+    cand_j = order[: cfg.max_candidates]
+    cand_i = best_i[cand_j]
+    cand_ok = j_ok[cand_j]
+
+    def match_pair(ci, cj):
+        gm = _render_local_map(cfg, model, st, ci)
+        view = scoring.MapView.of(gm, model)
+        pose_j = st.kf_poses[cj]
+        scan_j = jax.tree.map(lambda a: a[cj], st.kf_scans)
+        res = matcherslib.brute_force_match(
+            view, scan_j, pose_j, None, cfg.loop_matcher
+        )
+        if cfg.estimate_loop_info:
+            info = scoring.estimate_information(
+                view, scan_j, res.pose, cfg.loop_matcher.scoring
+            )
+            base = jnp.asarray(cfg.loop_info, jnp.float32)
+            info = jnp.clip(info, 0.1 * base, 10.0 * base)
+        else:
+            info = jnp.asarray(cfg.loop_info, jnp.float32)
+        return res.pose, res.prob, info
+
+    poses_m, probs, infos = jax.vmap(match_pair)(cand_i, cand_j)
+    corr = poses_m - st.kf_poses[cand_j]
+    corr_ok = (
+        (jnp.linalg.norm(corr[:, :2], axis=-1) <= cfg.max_loop_correction_xy)
+        & (jnp.abs(wrap_angle(corr[:, 2])) <= cfg.max_loop_correction_theta)
+    )
+    accept = cand_ok & (probs > cfg.min_prob) & corr_ok
+
+    def add_one(k, s):
+        def do(s):
+            delta = between(s.kf_poses[cand_i[k]], poses_m[k])
+            return _append_edge(
+                s, cand_i[k], cand_j[k], delta, infos[k], is_loop=True
+            )
+
+        return jax.lax.cond(accept[k], do, lambda s: s, s)
+
+    return jax.lax.fori_loop(0, cfg.max_candidates, add_one, st), accept.sum()
+
+
 # --- Gauss-Newton solve -----------------------------------------------------
 
 

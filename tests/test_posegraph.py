@@ -111,3 +111,55 @@ def test_residual_zero_at_truth():
         np.testing.assert_allclose(np.asarray((e2 - e) / eps), np.asarray(ji[:, k]), atol=1e-2)
         e3, _, _ = pg._edge_residual_jac(pi, pj + d, z)
         np.testing.assert_allclose(np.asarray((e3 - e) / eps), np.asarray(jj[:, k]), atol=1e-2)
+
+
+def test_densify_adds_midloop_edges():
+    """densify_loops proposes pair constraints between revisits anywhere in
+    the trajectory (two laps -> lap-2 keyframes pair with lap-1), dedups
+    already-constrained pairs, and respects the index gap."""
+    from slam_constructor_tpu.ops import raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    lap = datagen.rectangle_trajectory(step=0.7)  # ~keyframe spacing
+    poses = jnp.concatenate([lap, lap])  # two laps: revisits everywhere
+    bearings = datagen.default_bearings(90)
+    n_lap = lap.shape[0]
+
+    cfg = pg.PoseGraphConfig(
+        max_keyframes=2 * n_lap + 2,
+        max_edges=256,
+        min_index_gap=n_lap // 2,
+        loop_radius=1.0,
+        min_prob=0.5,
+        max_candidates=6,
+        local_map_size=120,
+    )
+    model = cells.BayesAvgCell()
+    st = pg.init_state(cfg, 90)
+    rng = np.random.default_rng(0)
+    for i in range(poses.shape[0]):
+        p = jnp.asarray(poses[i])
+        s = raycast.cast_rays(occ, origin, scale, p, bearings)
+        # small estimate jitter: densify must still match and accept
+        est = p + jnp.asarray(rng.normal(0, 0.02, 3).astype(np.float32))
+        st = pg.add_keyframe(cfg, st, est, s)
+
+    n_edges_before = int(st.n_edges)
+    densify = jax.jit(lambda s: pg.densify_loops(cfg, model, s))
+    st, n_added = densify(st)
+    assert int(n_added) > 0, "no mid-loop pairs accepted"
+    assert int(st.n_edges) == n_edges_before + int(n_added)
+
+    loops = np.asarray(st.edge_is_loop[: int(st.n_edges)])
+    ei = np.asarray(st.edge_i[: int(st.n_edges)])[loops]
+    ej = np.asarray(st.edge_j[: int(st.n_edges)])[loops]
+    assert (ej - ei >= cfg.min_index_gap).all(), "index gap violated"
+
+    # second pass must not duplicate pairs
+    st, _ = densify(st)
+    loops = np.asarray(st.edge_is_loop[: int(st.n_edges)])
+    ei = np.asarray(st.edge_i[: int(st.n_edges)])[loops]
+    ej = np.asarray(st.edge_j[: int(st.n_edges)])[loops]
+    pairs = list(zip(ei.tolist(), ej.tolist()))
+    assert len(pairs) == len(set(pairs)), "duplicate loop pairs appended"
