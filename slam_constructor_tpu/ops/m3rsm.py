@@ -223,6 +223,26 @@ def m3rsm_match(
     return MatchResult(pose=pose, prob=scores[best])
 
 
+def m3rsm_match_many(
+    view: MapView,
+    scans: scanlib.LaserScan,  # stacked [B, R]
+    init_poses: Array,  # f32[B, 3]
+    cfg: M3RSMConfig = M3RSMConfig(),
+    point_weights: Array | None = None,  # f32[B, R] or None
+) -> MatchResult:
+    """The many-to-many entry (SURVEY.md §3.5 ``add_scan_matching_request``):
+    B independent (scan, window) requests against one map resolved in ONE
+    batched dispatch — the reference queues requests into a shared heap; here
+    the batch axis IS the queue, and the pyramid is shared across requests
+    (vmap with the map held constant, so XLA builds it once)."""
+    in_w = None if point_weights is None else 0
+    f = jax.vmap(
+        lambda s, p, w: m3rsm_match(view, s, p, None, cfg, w),
+        in_axes=(0, 0, in_w),
+    )
+    return f(scans, init_poses, point_weights)
+
+
 # register with the matcher registry (config-selectable like the others)
 from . import matchers as _matchers  # noqa: E402
 

@@ -82,3 +82,45 @@ def test_m3rsm_jittable(setup):
     f = jax.jit(lambda v, sc, p: m3rsm.m3rsm_match(v, sc, p, None, cfg))
     res = f(view, s, true_pose)
     assert res.pose.shape == (3,)
+
+
+def test_m3rsm_match_many_matches_single():
+    """Batched many-to-many requests == per-request calls (one dispatch)."""
+    import numpy as np
+
+    from slam_constructor_tpu.ops import cells, grid, raycast, scoring
+    from slam_constructor_tpu.ops.m3rsm import M3RSMConfig, m3rsm_match, m3rsm_match_many
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(90)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 160, 160, 0.1)
+    build_pose = jnp.array([0.0, -1.5, 0.0])
+    s0 = raycast.cast_rays(occ, origin, scale, build_pose, bearings)
+    gm = raycast.insert_scan(gm, model, build_pose, s0, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+
+    cfg = M3RSMConfig(half_x=0.5, half_y=0.5, half_theta=0.2, n_theta=9,
+                      levels=3, beam_width=64, refine_iterations=0)
+    true_poses = jnp.stack([
+        build_pose,
+        build_pose + jnp.array([0.3, 0.0, 0.1]),
+        build_pose + jnp.array([-0.2, 0.1, -0.05]),
+    ])
+    scans = jax.vmap(lambda p: raycast.cast_rays(occ, origin, scale, p, bearings))(
+        true_poses
+    )
+    inits = true_poses + jnp.array([0.15, -0.1, 0.05])
+
+    many = jax.jit(lambda sc, ip: m3rsm_match_many(view, sc, ip, cfg))(scans, inits)
+    for b in range(3):
+        one = m3rsm_match(
+            view, jax.tree.map(lambda a: a[b], scans), inits[b], None, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(many.pose[b]), np.asarray(one.pose), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(many.prob[b]), np.asarray(one.prob), atol=1e-6
+        )
