@@ -3,7 +3,7 @@
 # then takes measurements one per process (each under timeout). Appends to
 # TPU_MEASURES.jsonl; skips measurements already captured.
 cd /root/repo
-MEASURES="score_matmul score_gather score_pallas insert_matmul insert_scatter mc_match m3rsm gn_solve tiny_seq viny_seq gmapping_seq"
+MEASURES="score_matmul score_gather score_pallas tiny_seq insert_matmul insert_scatter mc_match viny_seq gmapping_seq m3rsm gn_solve"
 for i in $(seq 1 200); do
   # health probe
   if ! timeout 60 python -c "

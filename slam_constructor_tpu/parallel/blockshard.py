@@ -43,7 +43,7 @@ from ..ops import raycast
 from ..ops import scan as scanlib
 from ..ops.geometry import apply_pose
 from ..ops.scoring import ScoringConfig, _window_offsets
-from .halo import _exchange_rows
+from .halo import _exchange_rows, _reduce_point_probs
 
 Array = jax.Array
 
@@ -200,8 +200,8 @@ def score_poses(
     """Sharded scan-likelihood over the block map: densify bands, ppermute
     ``halo`` boundary rows, score owned endpoints, psum partial sums.
 
-    Supports the obstacle / max / mean reducers (the window reads that need
-    halos). Equal to scoring the unsharded map for window <= halo.
+    Supports all four reducers — obstacle / max / mean / overlap (the
+    window reads that need halos). Equal to scoring the unsharded map for window <= halo.
     """
     n_dev = mesh.shape[axis]
     h, w = sbm.height, sbm.width
@@ -235,13 +235,7 @@ def score_poses(
         lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
         lcol = jnp.clip(wcol, 0, w - 1)
         vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
-
-        if cfg.reducer == "max":
-            point_p = vals.max(-1)
-        elif cfg.reducer == "mean":
-            point_p = vals.mean(-1)
-        else:  # obstacle
-            point_p = vals[..., 0]
+        point_p = _reduce_point_probs(vals, rel, cfg)
 
         contrib = jnp.where(own, point_p * mask_[None, :], 0.0)
         num = jax.lax.psum(contrib.sum(-1), axis)

@@ -45,6 +45,30 @@ def _exchange_rows(block: Array, halo: int, axis: str) -> Array:
     return jnp.concatenate([from_below, block, from_above], axis=0)
 
 
+def _reduce_point_probs(vals: Array, rel: Array, cfg: ScoringConfig) -> Array:
+    """Reduce window values [K, R, W2] to per-point probabilities [K, R] —
+    the same four reducers as the unsharded scorer (ops/scoring.py),
+    including the overlap-weighted one (fractional endpoint-square overlap
+    with each window cell, computed from the fractional coords ``rel``)."""
+    if cfg.reducer == "max":
+        return vals.max(-1)
+    if cfg.reducer == "mean":
+        return vals.mean(-1)
+    if cfg.reducer == "overlap":
+        offs = _window_offsets(cfg.window).astype(jnp.float32)
+        frac = rel - jnp.floor(rel)  # [K, R, 2] (x, y)
+        half = cfg.overlap_extent / 2.0
+        exy = frac[:, :, None, :]
+        cell_lo = jnp.stack([offs[..., 1], offs[..., 0]], axis=-1)  # (x, y)
+        lo = jnp.maximum(cell_lo[None, None], exy - half)
+        hi = jnp.minimum(cell_lo[None, None] + 1.0, exy + half)
+        wh = jnp.clip(hi - lo, 0.0)
+        wgt = wh[..., 0] * wh[..., 1]  # [K, R, W2]
+        wsum = jnp.maximum(wgt.sum(-1, keepdims=True), 1e-9)
+        return (vals * wgt).sum(-1) / wsum[..., 0]
+    return vals[..., 0]  # obstacle
+
+
 def sharded_score_poses(
     view: MapView,
     scan: scanlib.LaserScan,
@@ -54,8 +78,8 @@ def sharded_score_poses(
     axis: str = "chips",
     halo: int | None = None,
 ) -> Array:
-    """Row-sharded equivalent of ``scoring.score_poses`` (obstacle / max /
-    mean reducers). The plane is split over ``axis``; each device scores the
+    """Row-sharded equivalent of ``scoring.score_poses`` (all four
+    reducers: obstacle / max / mean / overlap). The plane is split over ``axis``; each device scores the
     endpoints whose window rows it owns and psums partial results."""
     n_dev = mesh.shape[axis]
     h, w = view.occ.shape
@@ -91,13 +115,7 @@ def sharded_score_poses(
         lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
         lcol = jnp.clip(wcol, 0, w - 1)
         vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
-
-        if cfg.reducer == "max":
-            point_p = vals.max(-1)
-        elif cfg.reducer == "mean":
-            point_p = vals.mean(-1)
-        else:  # obstacle
-            point_p = vals[..., 0]
+        point_p = _reduce_point_probs(vals, rel, cfg)
 
         contrib = jnp.where(own, point_p * mask_[None, :], 0.0)
         num = jax.lax.psum(contrib.sum(-1), axis)
@@ -153,12 +171,7 @@ def beam_sharded_score_poses(
             plane[jnp.clip(wrow, 0, h - 1), jnp.clip(wcol, 0, w - 1)],
             cfg.unknown_prob,
         )
-        if cfg.reducer == "max":
-            point_p = vals.max(-1)
-        elif cfg.reducer == "mean":
-            point_p = vals.mean(-1)
-        else:
-            point_p = vals[..., 0]
+        point_p = _reduce_point_probs(vals, rel, cfg)
         num = jax.lax.psum((point_p * mask_[None, :]).sum(-1), axis)
         den = jax.lax.psum(mask_.sum(), axis)
         return num / jnp.maximum(den, 1e-9)

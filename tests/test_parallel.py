@@ -62,7 +62,7 @@ def test_sharded_gmapping_step_matches_unsharded():
     )
 
 
-@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean"])
+@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean", "overlap"])
 def test_halo_sharded_score_matches_unsharded(reducer):
     occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=6)
     bearings = datagen.default_bearings(120)
@@ -118,7 +118,7 @@ def test_hosts_chips_mesh():
     assert m.shape == {"hosts": 2, "chips": 4}
 
 
-@pytest.mark.parametrize("reducer", ["obstacle", "mean"])
+@pytest.mark.parametrize("reducer", ["obstacle", "mean", "overlap"])
 def test_beam_sharded_score_matches_unsharded(reducer):
     occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=6)
     bearings = datagen.default_bearings(120)
@@ -188,7 +188,7 @@ def test_blockshard_insert_matches_unsharded_plane():
     assert not bool(sbm.overflowed)
 
 
-@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean"])
+@pytest.mark.parametrize("reducer", ["obstacle", "max", "mean", "overlap"])
 def test_blockshard_score_matches_unsharded(reducer):
     from slam_constructor_tpu.ops import blockmap
     from slam_constructor_tpu.parallel import blockshard
