@@ -1,0 +1,269 @@
+"""EP-sharded copy-on-write particle maps: per-device block pools.
+
+SURVEY.md §2.9 EP row: "per-particle maps = experts; route scan to each
+particle's map shard" -> "particle-sharded block pools on separate
+devices". The single-device CoW map (``ops/cow.py``) keeps ONE pool shared
+by all particles; here the particle axis is split over a mesh axis and each
+device owns a PRIVATE pool for its particle shard:
+
+- Every per-scan op (window extraction for matching, write preparation,
+  observation scatter) is device-local — no collectives on the scan path.
+  Copy-on-write sharing happens within a shard.
+- Only RESAMPLING crosses devices: a surviving particle may inherit its
+  ancestor's map from another shard. ``ep_resample`` migrates blocks:
+  tables (small int32) and pools are all_gathered, each device computes the
+  set of GLOBAL blocks its new particles reference, deduplicates them with
+  a fixed-size ``jnp.unique`` and compacts them into its local pool. Blocks
+  whose descendants land on several devices are duplicated — that is the
+  EP semantics (private pools), and still moves no data when ancestry
+  stays on-device after weight convergence.
+
+The all_gather of pools is the bandwidth worst case (equivalent to the
+reference's resampling deep-copy, which copies every particle map);
+a ppermute fetch of only-referenced blocks is the targeted optimization if
+profiling shows resampling matters (it runs at Neff-collapse rate, not
+every scan).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import cow as cowlib
+from ..ops import grid as gridlib
+
+Array = jax.Array
+_SENTINEL = 2_147_483_647  # int32 max: "no block" after global-id mapping
+
+
+@struct.dataclass
+class EpCowMaps:
+    pool: Array  # f32[D, N, B, B, C] private per-device pools
+    tables: Array  # i32[P, TH, TW] slot ids LOCAL to the owning shard
+    refcnt: Array  # i32[D, N]
+    origin: Array  # f32[2]
+    overflow: Array  # bool[D]
+    scale: float = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+
+    @property
+    def n_shards(self) -> int:
+        return self.pool.shape[0]
+
+    @property
+    def n_particles(self) -> int:
+        return self.tables.shape[0]
+
+
+def make_ep_maps(
+    model,
+    n_particles: int,
+    tiles_h: int,
+    tiles_w: int,
+    capacity_per_shard: int,
+    n_shards: int,
+    block: int = 32,
+    scale: float = 0.1,
+    origin: tuple[float, float] | None = None,
+) -> EpCowMaps:
+    assert n_particles % n_shards == 0, "particles must divide the mesh axis"
+    c = model.n_channels + 1
+    init = jnp.concatenate(
+        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
+    )
+    if origin is None:
+        origin = (-tiles_w * block * scale / 2.0, -tiles_h * block * scale / 2.0)
+    return EpCowMaps(
+        pool=jnp.broadcast_to(
+            init, (n_shards, capacity_per_shard, block, block, c)
+        ).copy(),
+        tables=jnp.full((n_particles, tiles_h, tiles_w), -1, jnp.int32),
+        refcnt=jnp.zeros((n_shards, capacity_per_shard), jnp.int32),
+        origin=jnp.asarray(origin, jnp.float32),
+        overflow=jnp.zeros((n_shards,), bool),
+        scale=float(scale),
+        block=block,
+    )
+
+
+def state_sharding(st: EpCowMaps, mesh: Mesh, axis: str = "chips"):
+    return st.replace(
+        pool=NamedSharding(mesh, P(axis)),
+        tables=NamedSharding(mesh, P(axis)),
+        refcnt=NamedSharding(mesh, P(axis)),
+        origin=NamedSharding(mesh, P()),
+        overflow=NamedSharding(mesh, P(axis)),
+    )
+
+
+def place(st: EpCowMaps, mesh: Mesh, axis: str = "chips") -> EpCowMaps:
+    return jax.tree.map(jax.device_put, st, state_sharding(st, mesh, axis))
+
+
+def _local_cow(st: EpCowMaps, pool, tables, refcnt, overflow) -> cowlib.CowBlockMaps:
+    return cowlib.CowBlockMaps(
+        pool=pool,
+        tables=tables,
+        refcnt=refcnt,
+        origin=st.origin,
+        scale=st.scale,
+        block=st.block,
+        overflow=overflow,
+    )
+
+
+def ep_insert(
+    st: EpCowMaps,
+    model,
+    pid: Array,  # i32[M] GLOBAL particle ids of flattened observations
+    rows: Array,
+    cols: Array,
+    w: Array,
+    s: Array,
+    mesh: Mesh,
+    axis: str = "chips",
+) -> EpCowMaps:
+    """Device-local CoW insertion: each shard keeps the observations whose
+    particle it owns, prepares writes (allocate/copy) in its private pool,
+    and scatters. No collectives."""
+    p = st.n_particles
+    p_local = p // mesh.shape[axis]
+    th, tw = st.tables.shape[1:]
+    b = st.block
+
+    def kernel(pool, tables, refcnt, ovf, pid_, rows_, cols_, w_, s_):
+        d = jax.lax.axis_index(axis)
+        lpid = pid_ - d * p_local
+        own = (lpid >= 0) & (lpid < p_local)
+        w_own = jnp.where(own, w_, 0.0)
+        lpid_c = jnp.clip(lpid, 0, p_local - 1)
+        cm = _local_cow(st, pool[0], tables, refcnt[0], ovf[0])
+        tr = jnp.clip(rows_ // b, 0, th - 1)
+        tc = jnp.clip(cols_ // b, 0, tw - 1)
+        ok = (
+            (w_own > 0)
+            & (rows_ >= 0) & (rows_ < th * b)
+            & (cols_ >= 0) & (cols_ < tw * b)
+        )
+        touched = jnp.zeros((p_local, th, tw), bool).at[lpid_c, tr, tc].max(
+            ok, mode="drop"
+        )
+        cm = cowlib.prepare_write(cm, model, touched)
+        cm = cowlib.scatter_observations(
+            cm, model, jnp.where(own, lpid_c, -1), rows_, cols_, w_own, s_
+        )
+        return cm.pool[None], cm.tables, cm.refcnt[None], cm.overflow[None]
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(None), P(None), P(None), P(None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    pool, tables, refcnt, overflow = fn(
+        st.pool, st.tables, st.refcnt, st.overflow, pid, rows, cols, w, s
+    )
+    return st.replace(pool=pool, tables=tables, refcnt=refcnt, overflow=overflow)
+
+
+def ep_resample(
+    st: EpCowMaps, idx: Array, mesh: Mesh, axis: str = "chips"
+) -> EpCowMaps:
+    """Ancestor gather across shards: migrate referenced blocks to the
+    descendants' devices and compact them into each private pool."""
+    p = st.n_particles
+    d_n = mesh.shape[axis]
+    p_local = p // d_n
+    n = st.pool.shape[1]
+    th, tw = st.tables.shape[1:]
+
+    def kernel(pool, tables, refcnt, ovf, idx_):
+        d = jax.lax.axis_index(axis)
+        tables_all = jax.lax.all_gather(tables, axis).reshape(p, th, tw)
+        pools_all = jax.lax.all_gather(pool[0], axis)  # [D, N, B, B, C]
+
+        my_ids = d * p_local + jnp.arange(p_local)
+        anc = idx_[my_ids]  # [P/D] global ancestor ids
+        anc_shard = anc // p_local
+        t = tables_all[anc]  # [P/D, TH, TW] slots local to anc's shard
+        gid = jnp.where(
+            t >= 0, anc_shard[:, None, None] * n + t, _SENTINEL
+        ).astype(jnp.int32)
+
+        uq = jnp.unique(gid.ravel(), size=n + 1, fill_value=_SENTINEL)
+        n_unique = (uq != _SENTINEL).sum()
+        overflow = ovf[0] | (n_unique > n)
+        uq_n = uq[:n]
+        valid_slot = uq_n != _SENTINEL
+
+        flat_pools = pools_all.reshape(d_n * n, *pool.shape[2:])
+        init = jnp.concatenate(
+            [jnp.zeros((flat_pools.shape[-1] - 1,)), jnp.zeros((1,))]
+        )  # unreferenced slots: content irrelevant, refcnt 0
+        new_pool = jnp.where(
+            valid_slot[:, None, None, None],
+            flat_pools[jnp.clip(uq_n, 0, d_n * n - 1)],
+            init,
+        )
+
+        pos = jnp.searchsorted(uq_n, gid)  # [P/D, TH, TW]
+        pos_c = jnp.clip(pos, 0, n - 1)
+        hit = (gid != _SENTINEL) & (uq_n[pos_c] == gid) & (pos < n)
+        new_tables = jnp.where(hit, pos_c, -1).astype(jnp.int32)
+
+        new_refcnt = (
+            jnp.zeros((n,), jnp.int32)
+            .at[jnp.where(hit, pos_c, n).ravel()]
+            .add(1, mode="drop")
+        )
+        return new_pool[None], new_tables, new_refcnt[None], overflow[None]
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    pool, tables, refcnt, overflow = fn(
+        st.pool, st.tables, st.refcnt, st.overflow, idx
+    )
+    return st.replace(pool=pool, tables=tables, refcnt=refcnt, overflow=overflow)
+
+
+def gather_planes(
+    st: EpCowMaps, model, mesh: Mesh, axis: str = "chips"
+) -> Array:
+    """Dense occupancy-value planes for every particle [P, H, W] (tests /
+    export; each shard densifies its local particles)."""
+    p = st.n_particles
+    p_local = p // mesh.shape[axis]
+    th, tw = st.tables.shape[1:]
+
+    def kernel(pool, tables, refcnt, ovf):
+        cm = _local_cow(st, pool[0], tables, refcnt[0], ovf[0])
+
+        def one(i):
+            # full-extent window: offsets clip to 0 when the request spans
+            # the whole table, so any center works
+            gm = cowlib.extract_window(cm, model, i, jnp.zeros(2), th, tw)
+            occ = gridlib.occupancy_plane(gm, model)
+            known = gridlib.known_mask(gm)
+            return jnp.where(known, occ, 0.5)
+
+        return jax.vmap(one)(jnp.arange(p_local))
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(st.pool, st.tables, st.refcnt, st.overflow)

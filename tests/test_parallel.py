@@ -236,3 +236,91 @@ def test_blockshard_jit_and_sharding_specs():
     )(sbm, s, p[None, :] + jnp.zeros((4, 3)))
     assert probs.shape == (4,)
     assert bool(jnp.isfinite(probs).all())
+
+
+# --- EP-sharded CoW particle pools (parallel/ep_cow.py) ----------------------
+
+
+def test_ep_cow_matches_single_device():
+    """Per-device CoW pools == the single shared-pool CoW map through
+    insert -> cross-shard resample -> insert (write-after-migration)."""
+    from slam_constructor_tpu.ops import cow
+    from slam_constructor_tpu.parallel import ep_cow
+
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=8)
+    bearings = datagen.default_bearings(60)
+    model = cells.BayesAvgCell()
+    beam = raycast.BeamConfig()
+    m = meshlib.flat_mesh("chips")
+    n_dev = len(jax.devices())
+    p = n_dev  # 1 particle per shard: every resample crosses devices
+
+    # the shared pool needs capacity for EVERY particle's distinct blocks
+    # (~31 tiles x 8 particles + CoW copies); the EP pools each hold one
+    # particle's — the capacity-scaling advantage of per-device pools
+    single = cow.make_cow_maps(model, p, 6, 6, capacity=768, block=16, scale=0.1)
+    ep = ep_cow.make_ep_maps(
+        model, p, 6, 6, capacity_per_shard=96, n_shards=n_dev,
+        block=16, scale=0.1,
+    )
+    ep = ep_cow.place(ep, m)
+
+    def observations(poses):
+        rows, cols, w, s = jax.vmap(
+            lambda pose: raycast.scan_sample_cells(
+                single.origin, single.scale, pose, scan, beam
+            )
+        )(poses)
+        pid = jnp.broadcast_to(jnp.arange(p)[:, None], rows.shape)
+        return (pid.ravel(), rows.ravel(), cols.ravel(), w.ravel(), s.ravel())
+
+    def single_insert(st, pid, rows, cols, w, s):
+        b = st.block
+        th, tw = st.tables.shape[1:]
+        tr = jnp.clip(rows // b, 0, th - 1)
+        tc = jnp.clip(cols // b, 0, tw - 1)
+        ok = (w > 0) & (rows >= 0) & (rows < th * b) & (cols >= 0) & (cols < tw * b)
+        touched = jnp.zeros((p, th, tw), bool).at[pid, tr, tc].max(ok, mode="drop")
+        st = cow.prepare_write(st, model, touched)
+        return cow.scatter_observations(st, model, pid, rows, cols, w, s)
+
+    def single_planes(st):
+        def one(i):
+            gm = cow.extract_window(st, model, i, jnp.zeros(2), 6, 6)
+            return jnp.where(
+                grid.known_mask(gm), grid.occupancy_plane(gm, model), 0.5
+            )
+        return jax.vmap(one)(jnp.arange(p))
+
+    poses = jnp.stack(
+        [jnp.array([0.2 * i - 0.5, 0.1 * i, 0.3 * i]) for i in range(p)]
+    )
+    scan = raycast.cast_rays(occ, origin, scale, poses[0], bearings)
+
+    obs = observations(poses)
+    single = single_insert(single, *obs)
+    ep = ep_cow.ep_insert(ep, model, *obs, m)
+    np.testing.assert_allclose(
+        np.asarray(ep_cow.gather_planes(ep, model, m)),
+        np.asarray(single_planes(single)), atol=1e-5,
+    )
+
+    # cross-shard ancestry: particle 0's map survives everywhere + a swap
+    idx = jnp.array([0] * (p - 2) + [p - 1, p - 2], jnp.int32)
+    single = cow.resample(single, idx)
+    ep = ep_cow.ep_resample(ep, idx, m)
+    np.testing.assert_allclose(
+        np.asarray(ep_cow.gather_planes(ep, model, m)),
+        np.asarray(single_planes(single)), atol=1e-5,
+    )
+    assert not bool(np.asarray(ep.overflow).any())
+
+    # write after migration: CoW must copy shared blocks correctly
+    poses2 = poses + jnp.array([0.15, -0.1, 0.05])
+    obs2 = observations(poses2)
+    single = single_insert(single, *obs2)
+    ep = ep_cow.ep_insert(ep, model, *obs2, m)
+    np.testing.assert_allclose(
+        np.asarray(ep_cow.gather_planes(ep, model, m)),
+        np.asarray(single_planes(single)), atol=1e-5,
+    )
