@@ -186,10 +186,70 @@ def brute_force_match(
     return MatchResult(pose=cand_p[i], prob=probs[i])
 
 
+# --- gradient-guided (TPU/JAX-native; no reference counterpart) --------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientConfig:
+    """Gradient-ascent refinement through the differentiable overlap score.
+
+    The overlap-weighted reducer is continuous in the pose (fractional
+    endpoint-square/cell overlaps), so ``jax.grad`` of the scan probability
+    gives an ascent direction for free through the sampling matmuls —
+    something the reference's pointer-chased virtual scoring cannot express
+    (gradient-guided proposals appear in the GPU-PF literature, e.g.
+    arXiv:2504.18056; idea only). Steps use hill-climbing's keep-if-better +
+    shrink-on-failure rule, so the matcher is monotone like the others.
+    """
+
+    iterations: int = 24
+    step_xy: float = 0.06
+    step_theta: float = 0.03
+    shrink: float = 0.5
+    scoring: scoring.ScoringConfig = scoring.ScoringConfig(reducer="overlap")
+
+
+def gradient_match(
+    view: scoring.MapView,
+    scan,
+    init_pose: Array,
+    key: Array | None = None,
+    cfg: GradientConfig = GradientConfig(),
+    point_weights: Array | None = None,
+) -> MatchResult:
+    del key  # deterministic
+
+    def score_fn(pose):
+        return scoring.score_single(view, scan, pose, cfg.scoring, point_weights)
+
+    grad_fn = jax.grad(score_fn)
+    init_prob = score_fn(init_pose)
+
+    def iter_fn(carry, _):
+        pose, prob, steps = carry
+        g = grad_fn(pose)
+        gn = g / (jnp.linalg.norm(g) + 1e-12)
+        cand = pose + steps * gn
+        cand = cand.at[2].set(wrap_angle(cand[2]))
+        p_new = score_fn(cand)
+        better = p_new > prob
+        pose = jnp.where(better, cand, pose)
+        prob = jnp.where(better, p_new, prob)
+        steps = jnp.where(better, steps, steps * cfg.shrink)
+        return (pose, prob, steps), prob
+
+    steps0 = jnp.array([cfg.step_xy, cfg.step_xy, cfg.step_theta], jnp.float32)
+    (pose, prob, _), trace = jax.lax.scan(
+        iter_fn, (init_pose, init_prob, steps0), None, length=cfg.iterations
+    )
+    return MatchResult(pose=pose, prob=prob, trace=trace)
+
+
 #: registry for the config system (matcher chosen by properties key in the
 #: reference's init_utils — SURVEY.md §2.7)
 MATCHERS = {
     "monte_carlo": (MonteCarloConfig, monte_carlo_match),
     "hill_climbing": (HillClimbingConfig, hill_climbing_match),
     "brute_force": (BruteForceConfig, brute_force_match),
+    "gradient": (GradientConfig, gradient_match),
 }

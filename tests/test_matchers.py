@@ -78,3 +78,16 @@ def test_matchers_jit(setup):
     f = jax.jit(lambda v, sc, p, k: matchers.monte_carlo_match(v, sc, p, k, cfg))
     res = f(view, s, true_pose, jax.random.PRNGKey(0))
     assert res.pose.shape == (3,)
+
+
+def test_gradient_recovers_pose(setup):
+    view, s, true_pose = setup
+    cfg = matchers.GradientConfig(
+        iterations=32, scoring=scoring.ScoringConfig(reducer="overlap")
+    )
+    res = matchers.gradient_match(view, s, true_pose + DISPLACEMENT, None, cfg)
+    assert recovered(res, true_pose)
+
+
+def test_gradient_matcher_registered():
+    assert "gradient" in matchers.MATCHERS
