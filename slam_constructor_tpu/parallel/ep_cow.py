@@ -237,6 +237,131 @@ def ep_resample(
     return st.replace(pool=pool, tables=tables, refcnt=refcnt, overflow=overflow)
 
 
+def init_ep_state(cfg, n_shards: int, capacity_per_shard: int | None = None,
+                  key=None):
+    """GMappingState over EP-sharded pools (mirrors gmapping.init_state's
+    cow branch; per-shard capacity defaults to tile_capacity / n_shards)."""
+    from ..models.gmapping import GMappingState
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    p = cfg.n_particles
+    cap = capacity_per_shard or max(cfg.tile_capacity // n_shards, 1)
+    st = make_ep_maps(
+        cfg.cell_model, p,
+        tiles_h=cfg.map_height // cfg.tile_block,
+        tiles_w=cfg.map_width // cfg.tile_block,
+        capacity_per_shard=cap,
+        n_shards=n_shards,
+        block=cfg.tile_block,
+        scale=cfg.map_scale,
+    )
+    return GMappingState(
+        gm=st,
+        poses=jnp.zeros((p, 3), jnp.float32),
+        log_weights=jnp.full((p,), -jnp.log(float(p))),
+        key=key,
+        step=jnp.int32(0),
+    )
+
+
+def make_ep_match(cfg, mesh: Mesh, axis: str = "chips"):
+    """Per-particle scan matching against EP-local maps: each device
+    extracts windows from its private pool and matches its particle shard
+    (the EP 'route the scan to each expert's shard' dispatch)."""
+    from ..ops import matchers as matcherslib
+    from ..ops import scoring
+
+    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    p = cfg.n_particles
+    wt = cfg.window_tiles
+
+    def ep_match(st: EpCowMaps, scan, priors: Array, k_match: Array):
+        p_local = p // mesh.shape[axis]
+
+        def kernel(pool, tables, refcnt, ovf, scan_, priors_, kmatch_):
+            d = jax.lax.axis_index(axis)
+            cm = _local_cow(st, pool[0], tables, refcnt[0], ovf[0])
+            keys = jax.random.split(kmatch_, p)  # same split on every shard
+
+            def one(li):
+                g = d * p_local + li
+                prior = priors_[g]
+                win = cowlib.extract_window(cm, cfg.cell_model, li, prior[:2], wt, wt)
+                view = scoring.MapView.of(win, cfg.cell_model)
+                res = match_fn(view, scan_, prior, keys[g], cfg.matcher_cfg, None)
+                return res.pose, res.prob
+
+            return jax.vmap(one)(jnp.arange(p_local))
+
+        fn = shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis),
+                      P(None), P(None), P(None)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        return fn(st.pool, st.tables, st.refcnt, st.overflow, scan, priors, k_match)
+
+    return ep_match
+
+
+def make_ep_step(cfg, mesh: Mesh, axis: str = "chips"):
+    """Full RBPF step over EP-sharded CoW pools (mirrors the cow branch of
+    ``models/gmapping.gmapping_step`` — same PRNG key discipline, so the
+    trajectory statistics match the single-device step): propose (replicated)
+    -> match (EP shard_map) -> weight (replicated normalize) -> insert
+    (device-local) -> resample (cross-shard block migration)."""
+    from functools import partial
+
+    from ..ops import raycast, resample
+    from ..ops.geometry import compose
+    from ..models.gmapping import GMappingState
+
+    p = cfg.n_particles
+    model = cfg.cell_model
+
+    def step(state: GMappingState, scan, odom_delta: Array):
+        st: EpCowMaps = state.gm
+        key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
+
+        base = jnp.array([cfg.noise_xy, cfg.noise_xy, cfg.noise_theta])
+        alpha = jnp.array([cfg.alpha_xy, cfg.alpha_xy, cfg.alpha_theta])
+        sigma = base + alpha * jnp.abs(odom_delta)
+        noise = jax.random.normal(k_noise, (p, 3)) * sigma
+        priors = compose(state.poses, odom_delta[None, :] + noise)
+
+        poses, probs = make_ep_match(cfg, mesh, axis)(st, scan, priors, k_match)
+
+        logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
+        logw = resample.normalize_log_weights(logw)
+
+        rows, cols, w, s = jax.vmap(
+            lambda pose_p: raycast.scan_sample_cells(
+                st.origin, st.scale, pose_p, scan, cfg.beam
+            )
+        )(poses)
+        pid = jnp.broadcast_to(jnp.arange(p)[:, None], rows.shape)
+        st = ep_insert(
+            st, model, pid.ravel(), rows.ravel(), cols.ravel(),
+            w.ravel(), s.ravel(), mesh, axis,
+        )
+
+        idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
+        st = ep_resample(st, idx, mesh, axis)
+        poses = poses[idx]
+        return (
+            GMappingState(
+                gm=st, poses=poses, log_weights=logw, key=key,
+                step=state.step + 1,
+            ),
+            idx,
+        )
+
+    return jax.jit(step, donate_argnums=0)
+
+
 def gather_planes(
     st: EpCowMaps, model, mesh: Mesh, axis: str = "chips"
 ) -> Array:

@@ -324,3 +324,57 @@ def test_ep_cow_matches_single_device():
         np.asarray(ep_cow.gather_planes(ep, model, m)),
         np.asarray(single_planes(single)), atol=1e-5,
     )
+
+
+def test_ep_gmapping_step_matches_unsharded_cow():
+    """Full EP RBPF step (per-device pools) == single shared-pool cow step:
+    same keys -> same trajectories, weights, and per-particle occupancy."""
+    from slam_constructor_tpu.ops import cow
+    from slam_constructor_tpu.parallel import ep_cow
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    poses = datagen.corridor_trajectory(4)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(11)
+    )
+    n_dev = len(jax.devices())
+    cfg = gmapping.GMappingConfig(
+        n_particles=n_dev, map_height=96, map_width=96, map_storage="cow",
+        tile_block=16, tile_capacity=1024, window_tiles=4,
+    )
+    m = meshlib.flat_mesh("chips")
+
+    ref = gmapping.init_state(cfg)
+    step_ref = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))
+
+    st = ep_cow.init_ep_state(cfg, n_dev, capacity_per_shard=192)
+    st = st.replace(gm=ep_cow.place(st.gm, m))
+    step_ep = ep_cow.make_ep_step(cfg, m)
+
+    for i in range(3):
+        s_i = jax.tree.map(lambda a: a[i], scans)
+        ref, idx_ref = step_ref(ref, s_i, odom[i])
+        st, idx_ep = step_ep(st, s_i, odom[i])
+        np.testing.assert_array_equal(np.asarray(idx_ep), np.asarray(idx_ref))
+
+    np.testing.assert_allclose(
+        np.asarray(st.poses), np.asarray(ref.poses), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.log_weights), np.asarray(ref.log_weights), atol=1e-5
+    )
+
+    def ref_planes(cm):
+        th, tw = cm.tables.shape[1:]
+        def one(i):
+            gm = cow.extract_window(cm, cfg.cell_model, i, jnp.zeros(2), th, tw)
+            return jnp.where(
+                grid.known_mask(gm), grid.occupancy_plane(gm, cfg.cell_model), 0.5
+            )
+        return jax.vmap(one)(jnp.arange(cfg.n_particles))
+
+    np.testing.assert_allclose(
+        np.asarray(ep_cow.gather_planes(st.gm, cfg.cell_model, m)),
+        np.asarray(ref_planes(ref.gm)), atol=1e-5,
+    )
