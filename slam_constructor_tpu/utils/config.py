@@ -87,18 +87,28 @@ def _build_cell_model(p: Mapping[str, Any]):
     return cls(**kw)
 
 
-def _build_matcher(p: Mapping[str, Any], sc: scoring.ScoringConfig):
-    kind = p.get("matcher.type", "monte_carlo")
+def _build_matcher(
+    p: Mapping[str, Any], sc: scoring.ScoringConfig, prefix: str = "matcher"
+):
+    kind = p.get(f"{prefix}.type", "monte_carlo")
     cfg_cls, _ = matcherslib.MATCHERS[kind]
     base = cfg_cls()
     kw: dict[str, Any] = {"scoring": sc}
     for f in dataclasses.fields(base):
         if f.name == "scoring":
             continue
-        key = f"matcher.{f.name}"
+        key = f"{prefix}.{f.name}"
         if key in p:
             kw[f.name] = _coerce(p[key], getattr(base, f.name))
     return kind, cfg_cls(**kw)
+
+
+def _build_refine(p: Mapping[str, Any], sc: scoring.ScoringConfig):
+    """Optional sub-cell refine stage: ``refine.type`` selects the second
+    matcher (e.g. gradient / hill_climbing), ``refine.*`` its params."""
+    if "refine.type" not in p:
+        return None, None
+    return _build_matcher(p, sc, prefix="refine")
 
 
 def engine_config_from(p: Mapping[str, Any]):
@@ -108,10 +118,13 @@ def engine_config_from(p: Mapping[str, Any]):
 
     sc = _build_scoring(p)
     matcher, matcher_cfg = _build_matcher(p, sc)
+    refine, refine_cfg = _build_refine(p, sc)
     return EngineConfig(
         cell_model=_build_cell_model(p),
         matcher=matcher,
         matcher_cfg=matcher_cfg,
+        refine_matcher=refine,
+        refine_cfg=refine_cfg,
         beam=_build_beam(p),
         map_height=int(p.get("map.height", 256)),
         map_width=int(p.get("map.width", 256)),

@@ -228,3 +228,21 @@ def test_same_seed_bitwise_reproducibility():
         outs.append((np.asarray(traj), np.asarray(e.state.gm.cells)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_refine_config_from_properties():
+    from slam_constructor_tpu.utils import config as cfglib
+
+    p = cfglib.parse_properties(
+        "matcher.type = monte_carlo\n"
+        "refine.type = gradient\n"
+        "refine.iterations = 8\n"
+        "refine.step_xy = 0.03\n"
+    )
+    cfg = cfglib.engine_config_from(p)
+    assert cfg.refine_matcher == "gradient"
+    assert cfg.refine_cfg.iterations == 8
+    assert cfg.refine_cfg.step_xy == 0.03
+    # absent -> disabled
+    cfg2 = cfglib.engine_config_from({})
+    assert cfg2.refine_matcher is None
