@@ -39,6 +39,10 @@ class FullConfig:
     #: (each pass proposes up to graph.max_candidates new pair constraints
     #: between mid-trajectory keyframes; 0 disables)
     densify_rounds: int = 1
+    #: after each optimize, polish every keyframe pose against the dense
+    #: leave-one-out occupancy consensus (``posegraph.joint_refine``;
+    #: 0 disables — it costs ~K map rasterizations per round)
+    joint_refine_rounds: int = 0
 
     def __post_init__(self):
         if self.tracking is None:
@@ -126,6 +130,18 @@ class FullSlamEngine:
             if int(n_new) == 0:
                 break
         self.graph = self._optimize(self.graph)
+        if self.cfg.joint_refine_rounds > 0:
+            t = self.cfg.tracking
+            small = gridlib.make_grid_map(
+                t.cell_model, t.map_height, t.map_width, t.map_scale
+            )
+            self.graph = jax.jit(
+                partial(
+                    pg.joint_refine, self.cfg.graph, t.cell_model,
+                    gm_template=small, beam=t.beam,
+                    rounds=self.cfg.joint_refine_rounds,
+                )
+            )(self.graph)
         after = self.graph.kf_poses[last]
         # re-anchor tracking pose: keep the offset from the last keyframe
         new_pose = compose(after, between(before, self.state.pose))

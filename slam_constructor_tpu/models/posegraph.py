@@ -438,6 +438,84 @@ def schur_solve(h: Array, b: Array, split: int) -> Array:
     return jnp.concatenate([x1, x2])
 
 
+def joint_refine(
+    cfg: PoseGraphConfig,
+    model,
+    st: PoseGraphState,
+    gm_template: gridlib.GridMap,
+    beam: raycast.BeamConfig,
+    rounds: int = 4,
+    damping: float = 0.5,
+    matcher: str = "brute_force",
+    matcher_cfg=None,
+) -> PoseGraphState:
+    """Joint pose/map refinement by damped leave-one-out alternation
+    (Occupancy-SLAM-flavored, arXiv:2405.10743 — idea only: optimize poses
+    against the occupancy map they jointly build).
+
+    Per round, every keyframe pose is re-matched against the map built from
+    ALL OTHER keyframes and moved ``damping`` of the way to its match:
+
+    - **Leave-one-out is exact and costs one rasterization pass**: cell
+      models fold commutative (weight, weighted-occupancy) totals, so the
+      map without scan i is the closed-form fold of
+      ``(W_total - W_i, S_total - S_i)``. Matching a scan against a map
+      containing itself (the naive alternation) plateaus — measured: the
+      self-term anchors each pose to its own error.
+    - **Damping is what makes alternation converge**: undamped simultaneous
+      re-matching improves one round then diverges (poses chase the moving
+      consensus; measured 0.128 -> 0.082 -> ... -> 0.128 m). With
+      lambda=0.5 (Jacobi relaxation) the same problem converges
+      0.128 -> 0.049 m and stays there.
+
+    The anchor keyframe 0 is fixed (gauge). Use after loop closure to
+    crispen the map: GN optimizes the graph from pairwise constraints;
+    this polishes every pose against the dense occupancy consensus."""
+    from ..ops import matchers as matcherslib
+
+    cfg_cls, match_fn = matcherslib.MATCHERS[matcher]
+    if matcher_cfg is None:
+        if matcher == "brute_force":
+            matcher_cfg = matcherslib.BruteForceConfig(
+                half_x=0.35, half_y=0.35, half_theta=0.12,
+                n_x=15, n_y=15, n_theta=9,
+                scoring=scoring.ScoringConfig(reducer="overlap"),
+            )
+        else:
+            matcher_cfg = cfg_cls()
+    kmax = cfg.max_keyframes
+
+    def one_round(_, poses):
+        def planes_one(i):
+            scan = jax.tree.map(lambda a: a[i], st.kf_scans)
+            scan = scan.replace(valid=scan.valid & (i < st.n_kf))
+            return raycast.scan_observation_planes(
+                gm_template, poses[i], scan, beam
+            )
+
+        w_all, s_all = jax.vmap(planes_one)(jnp.arange(kmax))  # [K, H, W]
+        w_tot, s_tot = w_all.sum(0), s_all.sum(0)
+
+        def refine_one(i):
+            gm = gridlib.apply_observations(
+                gm_template, model, w_tot - w_all[i], s_tot - s_all[i]
+            )
+            view = scoring.MapView.of(gm, model)
+            scan = jax.tree.map(lambda a: a[i], st.kf_scans)
+            res = match_fn(view, scan, poses[i], None, matcher_cfg)
+            d = res.pose - poses[i]
+            d = d.at[2].set(wrap_angle(d[2]))
+            new = poses[i] + damping * d
+            new = new.at[2].set(wrap_angle(new[2]))
+            ok = (i > 0) & (i < st.n_kf)  # keep anchor + unused rows
+            return jnp.where(ok, new, poses[i])
+
+        return jax.vmap(refine_one)(jnp.arange(kmax))
+
+    poses = jax.lax.fori_loop(0, rounds, one_round, st.kf_poses)
+    return st.replace(kf_poses=poses)
+
+
 def regenerate_map(
     cfg: PoseGraphConfig, model, st: PoseGraphState, gm: gridlib.GridMap,
     beam: raycast.BeamConfig,

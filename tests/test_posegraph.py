@@ -163,3 +163,48 @@ def test_densify_adds_midloop_edges():
     ej = np.asarray(st.edge_j[: int(st.n_edges)])[loops]
     pairs = list(zip(ei.tolist(), ej.tolist()))
     assert len(pairs) == len(set(pairs)), "duplicate loop pairs appended"
+
+
+def test_joint_refine_reduces_pose_error():
+    """Alternating map-regen + batched gradient refinement pulls perturbed
+    keyframe estimates back toward ground truth (Occupancy-SLAM-style)."""
+    from slam_constructor_tpu.ops import grid as gridlib, raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    lap = datagen.rectangle_trajectory(step=0.8)
+    bearings = datagen.default_bearings(120)
+    n = lap.shape[0]
+    cfg = pg.PoseGraphConfig(max_keyframes=n + 1, max_edges=64)
+    model = cells.BayesAvgCell()
+    st = pg.init_state(cfg, 120)
+    rng = np.random.default_rng(3)
+    gt_list = []
+    for i in range(n):
+        p = jnp.asarray(lap[i])
+        s = raycast.cast_rays(occ, origin, scale, p, bearings)
+        jitter = jnp.asarray(
+            rng.normal(0, [0.1, 0.1, 0.03]).astype(np.float32)
+        )
+        est = p + jitter if i > 0 else p  # anchor stays at truth
+        st = pg.add_keyframe(cfg, st, est, s)
+        gt_list.append(p)
+    gt = jnp.stack(gt_list)
+
+    gm_template = gridlib.make_grid_map(model, 192, 192, 0.1)
+    beam = raycast.BeamConfig(wall_blur=True)
+
+    def err(poses):
+        d = poses[:n, :2] - gt[:, :2]
+        return float(jnp.linalg.norm(d, axis=1).mean())
+
+    before = err(st.kf_poses)
+    refined = jax.jit(
+        lambda s: pg.joint_refine(cfg, model, s, gm_template, beam, rounds=4)
+    )(st)
+    after = err(refined.kf_poses)
+    assert after < before * 0.7, f"joint refine: {before:.4f} -> {after:.4f}"
+    # anchor untouched
+    np.testing.assert_allclose(
+        np.asarray(refined.kf_poses[0]), np.asarray(st.kf_poses[0]), atol=1e-7
+    )
