@@ -100,7 +100,7 @@ def main():
                 jax.tree.map(lambda a: a[:60] if a.ndim else a, s),
             )
         t = timeit(jax.jit(lambda x: pg.optimize(cfgp, x)), st, n=5)
-    elif name.endswith("_seq"):
+    elif "_seq" in name:
         n_scans = 128
         lap = datagen.rectangle_trajectory(step=0.3)
         reps = (n_scans + lap.shape[0] - 1) // lap.shape[0]
@@ -108,8 +108,32 @@ def main():
         scans, odom, gt = datagen.synth_sequence(
             occ, origin, scale, poses, bearings, jax.random.PRNGKey(0)
         )
-        if name == "gmapping_seq":
-            cfg = gmapping.GMappingConfig(n_particles=30, map_height=256, map_width=256)
+        if name.startswith("gmapping_seq"):
+            # variants after '@': stride2, grad, cow, rounds0, s2bf16
+            variant = name.split("@", 1)[1] if "@" in name else ""
+            kw: dict = {}
+            if variant == "stride2":
+                kw["matcher_cfg"] = matchers.MonteCarloConfig(
+                    sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
+                    scoring=scoring.ScoringConfig(stride=2),
+                )
+            elif variant == "s2bf16":
+                kw["matcher_cfg"] = matchers.MonteCarloConfig(
+                    sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
+                    scoring=scoring.ScoringConfig(stride=2, dtype="bfloat16"),
+                )
+            elif variant == "rounds0":
+                kw["matcher_cfg"] = matchers.MonteCarloConfig(
+                    sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=1,
+                )
+            elif variant == "grad":
+                kw["matcher"] = "gradient"
+                kw["matcher_cfg"] = matchers.MATCHERS["gradient"][0]()
+            elif variant == "cow":
+                kw["map_storage"] = "cow"
+            cfg = gmapping.GMappingConfig(
+                n_particles=30, map_height=256, map_width=256, **kw
+            )
             st = gmapping.init_state(cfg)
             st0 = jax.tree.map(lambda a: a.copy(), st)
             sync(gmapping.run_sequence(cfg, st, scans, odom)[1])
@@ -134,7 +158,7 @@ def main():
         "backend": jax.default_backend(),
         "ts": time.time(),
     }
-    if name.endswith("_seq"):
+    if "_seq" in name:
         row["scans_per_sec"] = round(1.0 / t, 1)
         row["vs_40hz"] = round(1.0 / t / 40.0, 1)
     with open(os.path.join(os.path.dirname(__file__), "..", "TPU_MEASURES.jsonl"), "a") as f:

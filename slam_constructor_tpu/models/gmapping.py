@@ -65,6 +65,11 @@ class GMappingConfig:
     tile_block: int = 32
     tile_capacity: int = 1024
     window_tiles: int = 8
+    #: dense-path matching window (cells, 0 = whole map). Matching FLOPs on
+    #: the MXU sampling path scale with window area, and candidates stay
+    #: within beam reach of the prior — a window covering the scan
+    #: footprint is exact (scoring.window_view) at a fraction of the cost.
+    match_window: int = 0
 
 
 @struct.dataclass
@@ -187,6 +192,8 @@ def gmapping_step(
     # 2. per-particle scan match against the particle's OWN map
     def match_one(gm_p, prior_p, key_p):
         view = scoring.MapView.of(gm_p, cfg.cell_model)
+        if cfg.match_window:
+            view = scoring.window_view(view, prior_p[:2], cfg.match_window)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
         return res.pose, res.prob
 

@@ -93,9 +93,16 @@ def _score_level(
     # 2^level-cell interval per axis that can straddle TWO coarse cells;
     # the admissible upper bound is the max over that 2x2 coarse footprint
     e = (1 << level) - 1
-    corners = jnp.array(
-        [[0, 0], [0, e], [e, 0], [e, e]], jnp.int32
-    )  # [4, 2]
+    if e == 0:
+        # level 0: the rect is a single translation — all four corners
+        # coincide, so sample once instead of 4x (level 0 works on the
+        # finest plane and dominates the FLOP budget)
+        corners = jnp.zeros((1, 2), jnp.int32)
+    else:
+        corners = jnp.array(
+            [[0, 0], [0, e], [e, 0], [e, e]], jnp.int32
+        )  # [4, 2]
+    nc = corners.shape[0]
     idx = (fine[:, :, None, :] + corners[None, None, :, :]) >> level
 
     use_matmul = impl == "matmul" or (
@@ -111,8 +118,8 @@ def _score_level(
         rel = jnp.stack(
             [idx[..., 1].astype(jnp.float32) + 0.5,  # x = col
              idx[..., 0].astype(jnp.float32) + 0.5], axis=-1  # y = row
-        ).reshape(k * r * 4, 2)
-        vals = _sample_matmul_chunked(plane, rel, cfg1).reshape(k, r, 4)
+        ).reshape(k * r * nc, 2)
+        vals = _sample_matmul_chunked(plane, rel, cfg1).reshape(k, r, nc)
     else:
         vals = gridlib.gather_plane(plane, idx, unknown_prob, h, w)  # [K, R, 4]
     vals = vals.max(-1)

@@ -48,6 +48,10 @@ class ScoringConfig:
     #: weighted one-hot matrix products on the MXU instead (exact for
     #: obstacle/mean/overlap; 'max' is not separable and keeps the gather).
     impl: str = "auto"
+    #: matmul-path operand dtype: 'float32' (exact, default) or 'bfloat16'
+    #: (~2x MXU throughput; accumulation stays fp32, per-point error ~0.4%,
+    #: averaged scan scores shift <0.1% — matcher-decision safe in practice)
+    dtype: str = "float32"
 
 
 @struct.dataclass
@@ -71,6 +75,28 @@ class MapView:
             origin=gm.origin,
             scale=gm.scale,
         )
+
+
+def window_view(view: MapView, center_xy: Array, size: int) -> MapView:
+    """Restrict a MapView to a ``size x size`` cell window around a world
+    point (clamped to map bounds, jit-safe static output shape).
+
+    Scoring-cost optimisation for local matchers: the MXU sampling path's
+    FLOPs scale with the map area, but match candidates only ever land
+    within a beam's reach of the prior pose. Cells outside the window score
+    as ``unknown_prob`` — identical to the full view's treatment of
+    out-of-map points, so a window that covers the scan footprint is exact.
+    ``size >= map extent`` degenerates to the full view (bitwise equal).
+    """
+    h, w = view.occ.shape
+    sh, sw = min(size, h), min(size, w)
+    rel = (center_xy - view.origin) / view.scale  # fractional (x, y)
+    col = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32) - sw // 2, 0, w - sw)
+    row = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32) - sh // 2, 0, h - sh)
+    occ = jax.lax.dynamic_slice(view.occ, (row, col), (sh, sw))
+    known = jax.lax.dynamic_slice(view.known, (row, col), (sh, sw))
+    origin = view.origin + jnp.stack([col, row]).astype(jnp.float32) * view.scale
+    return MapView(occ=occ, known=known, origin=origin, scale=view.scale)
 
 
 def _window_offsets(radius: int) -> Array:
@@ -133,6 +159,9 @@ def _sample_matmul(
         total = float(cfg.overlap_extent**2)
     else:
         raise ValueError(f"no matmul path for reducer {cfg.reducer!r}")
+    if cfg.dtype == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
     m = jnp.dot(a, v, preferred_element_type=jnp.float32)  # [N, W]
     ssum = (m * b).sum(-1)
     coverage = a.sum(-1) * b.sum(-1)

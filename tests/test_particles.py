@@ -113,3 +113,31 @@ def test_winner_trajectory_genealogy(sequence):
     # genealogy trajectory should also track ground truth
     from slam_constructor_tpu.utils import evaluate
     assert float(evaluate.ate(jnp.asarray(wt), gt[: len(wt)], align=False)) < 0.3
+
+
+def test_gmapping_windowed_matching_tracks():
+    # match_window + bf16 scoring: in a bounded world whose scan footprint
+    # fits the window, the TPU fast path must track like the full-map path.
+    # (Corridor worlds are the counterexample — far beams carry the only
+    # longitudinal constraint — so match_window stays opt-in; see DESIGN.md.)
+    from slam_constructor_tpu.ops import matchers, scoring
+
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=3)
+    poses = datagen.loop_trajectory(16, radius=2.0)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(5),
+        odom_noise_xy=0.02, odom_noise_theta=0.01,
+    )
+    cfg = gmapping.GMappingConfig(
+        n_particles=8, map_height=192, map_width=192, match_window=160,
+        matcher_cfg=matchers.MonteCarloConfig(
+            sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
+            scoring=scoring.ScoringConfig(dtype="bfloat16"),
+        ),
+    )
+    e = gmapping.GMappingEngine(cfg)
+    e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (8, 3)))
+    traj, _ = e.run(scans, odom)
+    err = float(evaluate.ate(traj, gt, align=False))
+    assert err < 0.2, f"ATE {err}"

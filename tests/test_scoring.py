@@ -87,3 +87,60 @@ def test_estimate_information_degeneracy(setup):
     assert bool((info >= 1.0).all())
     # a cluttered box world constrains all three axes reasonably
     assert float(info.min()) > 1.0
+
+
+def test_window_view_full_size_is_identity(setup):
+    view, s, true_pose = setup
+    win = scoring.window_view(view, true_pose[:2], 4096)
+    np.testing.assert_array_equal(np.asarray(win.occ), np.asarray(view.occ))
+    np.testing.assert_array_equal(np.asarray(win.origin), np.asarray(view.origin))
+
+
+def test_window_view_covering_scan_is_exact():
+    # a window that covers the scan footprint scores like the full map
+    # (cells outside both views resolve to unknown_prob identically).
+    # Embed an 8 m box world in a 16 m map so the footprint is interior.
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=4, seed=1)
+    bearings = datagen.default_bearings(180)
+    true_pose = jnp.zeros(3)
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 160, 160, 0.1)
+    gm = raycast.insert_scan(gm, model, true_pose, s, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+
+    cfg = scoring.ScoringConfig(reducer="overlap", impl="gather")
+    poses = true_pose[None, :] + jnp.array(
+        [[0.0, 0.0, 0.0], [0.12, -0.08, 0.05]]
+    )
+    full = scoring.score_poses(view, s, poses, cfg)
+    # beams reach <= 4 m = 40 cells; a 96-cell window covers every endpoint
+    # from both candidate poses with margin, but is a real crop of 160
+    win = scoring.window_view(view, true_pose[:2], 96)
+    assert win.occ.shape == (96, 96)
+    got = scoring.score_poses(win, s, poses, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), rtol=0, atol=1e-6)
+
+
+def test_window_view_clamps_at_map_edge(setup):
+    view, s, true_pose = setup
+    # center far outside the map: window must clamp to valid bounds
+    win = scoring.window_view(view, jnp.array([1e3, -1e3]), 32)
+    assert win.occ.shape == (32, 32)
+
+
+def test_bf16_matmul_close_to_f32(setup):
+    view, s, true_pose = setup
+    poses = true_pose[None, :] + jnp.array(
+        [[0.0, 0.0, 0.0], [0.3, -0.2, 0.1], [0.05, 0.02, -0.01]]
+    )
+    f32 = scoring.score_poses(
+        view, s, poses, scoring.ScoringConfig(reducer="overlap", impl="matmul")
+    )
+    bf16 = scoring.score_poses(
+        view, s, poses,
+        scoring.ScoringConfig(reducer="overlap", impl="matmul", dtype="bfloat16"),
+    )
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=5e-3)
+    # ranking of well-separated candidates must be preserved
+    assert int(jnp.argmax(bf16)) == int(jnp.argmax(f32))
