@@ -131,9 +131,18 @@ def main():
                 kw["matcher_cfg"] = matchers.MATCHERS["gradient"][0]()
             elif variant == "cow":
                 kw["map_storage"] = "cow"
-            cfg = gmapping.GMappingConfig(
-                n_particles=30, map_height=256, map_width=256, **kw
-            )
+            elif variant == "p8":
+                kw["n_particles"] = 8
+            elif variant == "sf1":
+                kw["beam"] = raycast.BeamConfig(step_fraction=1.0)
+            elif variant == "scatter":
+                kw["beam"] = raycast.BeamConfig(scatter_impl="scatter")
+            elif variant == "mr8":
+                kw["beam"] = raycast.BeamConfig(max_range=8.0)
+            elif variant == "polar":
+                kw["beam"] = raycast.BeamConfig(free_impl="polar")
+            kw = {"n_particles": 30, "map_height": 256, "map_width": 256, **kw}
+            cfg = gmapping.GMappingConfig(**kw)
             st = gmapping.init_state(cfg)
             st0 = jax.tree.map(lambda a: a.copy(), st)
             sync(gmapping.run_sequence(cfg, st, scans, odom)[1])
@@ -141,8 +150,15 @@ def main():
             sync(gmapping.run_sequence(cfg, st0, scans, odom)[1])
             t = (time.perf_counter() - t0) / n_scans
         else:
-            mk = tiny.tiny_config if name == "tiny_seq" else viny.viny_config
+            import dataclasses
+
+            base = name.split("@", 1)[0]
+            mk = tiny.tiny_config if base == "tiny_seq" else viny.viny_config
             cfg = mk(map_size=256)
+            if name.endswith("@polar"):
+                cfg = dataclasses.replace(
+                    cfg, beam=dataclasses.replace(cfg.beam, free_impl="polar")
+                )
             st = eng.init_state(cfg)
             st0 = jax.tree.map(lambda a: a.copy(), st)
             sync(eng.run_sequence(cfg, st, scans, odom)[1])

@@ -398,7 +398,11 @@ def optimize(cfg: PoseGraphConfig, st: PoseGraphState) -> PoseGraphState:
         h = h + jnp.diag(jnp.where(dof_used, cfg.gn_damping, 1.0))
         b = jnp.where(dof_used, b, 0.0)
 
-        dx = jnp.linalg.solve(h, -b).reshape(kmax, 3)
+        # H is SPD (JtWJ + damping; identity rows for masked DOFs) —
+        # Cholesky + two triangular solves; LU's row pivoting serializes
+        # badly on TPU (measured 90 ms for 10 GN iterations at 3K=384)
+        l = jnp.linalg.cholesky(h)
+        dx = jax.scipy.linalg.cho_solve((l, True), -b).reshape(kmax, 3)
         new = poses + dx
         return new.at[:, 2].set(wrap_angle(new[:, 2]))
 

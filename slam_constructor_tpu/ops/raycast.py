@@ -56,6 +56,13 @@ class BeamConfig:
     #: into planes. TPU scatter serializes; the matmul path rebuilds the
     #: plane as one-hot outer products on the MXU (A^T @ diag(v) B).
     scatter_impl: str = "auto"
+    #: 'dda' (per-beam line samples, reference-faithful Bresenham analogue)
+    #: or 'polar' (dense per-cell polar fill: a cell is free iff it lies
+    #: closer than the range of the beam covering its angle — an
+    #: elementwise pass over the map, ~300x fewer FLOPs than scattering
+    #: the DDA samples through the MXU one-hot path; assumes uniformly
+    #: spaced bearings). Free-space only; endpoints keep their estimator.
+    free_impl: str = "dda"
 
     def n_free_samples(self, scale: float) -> int:
         return int(math.ceil(self.max_range / (scale * self.step_fraction))) + 1
@@ -75,14 +82,17 @@ def _scatter_matmul(plane_shape, rows, cols, vals, valid):
     ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
     v = jnp.where(ok.ravel(), v, 0.0)
     n = rows.shape[0]
-    pad = (-n) % _SCATTER_CHUNK
+    # contraction FLOPs are H*W*chunk per chunk regardless of occupancy —
+    # small scatters (e.g. 360 endpoints) must not pad to the full chunk
+    chunk = min(_SCATTER_CHUNK, max(512, ((n + 127) // 128) * 128))
+    pad = (-n) % chunk
     if pad:
         rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
         cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
         v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
-    rows = rows.reshape(-1, _SCATTER_CHUNK)
-    cols = cols.reshape(-1, _SCATTER_CHUNK)
-    v = v.reshape(-1, _SCATTER_CHUNK)
+    rows = rows.reshape(-1, chunk)
+    cols = cols.reshape(-1, chunk)
+    v = v.reshape(-1, chunk)
 
     def chunk(carry, inp):
         r, c, vv = inp
@@ -206,6 +216,71 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
     )
 
 
+def _polar_free_plane(h, w, origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
+    """Dense polar free-space weights (``free_impl='polar'``).
+
+    For every cell: distance d and bearing from the pose; the cell is free
+    iff ``d < range(nearest beam) - hole_width/2`` (and inside the FOV /
+    max_range). The weight is the expected number of beams crossing the
+    cell — ``2*atan(scale/2d) / beam_spacing`` — matching the DDA path's
+    one-count-per-crossing-beam totals in expectation. Range lookup per
+    cell is a chunked one-hot matvec (a 65k-element gather serializes on
+    TPU). Invalid beams contribute no free evidence (range -> 0), same as
+    the DDA validity mask. Uniform bearing spacing assumed.
+    """
+    from .geometry import wrap_angle
+
+    r = scan.bearings.shape[0]
+    ys = origin[1] + (jnp.arange(h, dtype=jnp.float32) + 0.5) * scale
+    xs = origin[0] + (jnp.arange(w, dtype=jnp.float32) + 0.5) * scale
+    dy = ys[:, None] - pose[1]  # [H, 1]
+    dx = xs[None, :] - pose[0]  # [1, W]
+    d = jnp.sqrt(dx * dx + dy * dy)  # [H, W]
+    ang = jnp.arctan2(dy, dx) - pose[2]
+    b0 = scan.bearings[0]
+    db = (scan.bearings[-1] - b0) / jnp.maximum(r - 1, 1)
+    db = jnp.where(jnp.abs(db) < 1e-6, 1.0, db)
+    binf = wrap_angle(ang - b0) / db
+    bini = jnp.round(binf).astype(jnp.int32)
+    in_fov = (bini >= 0) & (bini <= r - 1)
+    full_circle = jnp.abs(db) * r >= 2.0 * jnp.pi - 1.5 * jnp.abs(db)
+    ok = in_fov | full_circle
+    bini = jnp.where(full_circle, jnp.mod(bini, r), jnp.clip(bini, 0, r - 1))
+    # conservative range per bin: min over the beam and its neighbors, so
+    # free space never extends past an adjacent beam's hit (avoids eroding
+    # walls seen at grazing angles through bin rounding). Invalid beams
+    # contribute no free evidence themselves (0) but don't truncate their
+    # neighbors' sectors (inf).
+    rng_inf = jnp.where(scan.valid, scan.ranges, jnp.inf)
+    prev_r = jnp.where(full_circle, jnp.roll(rng_inf, 1), jnp.concatenate([rng_inf[:1], rng_inf[:-1]]))
+    next_r = jnp.where(full_circle, jnp.roll(rng_inf, -1), jnp.concatenate([rng_inf[1:], rng_inf[-1:]]))
+    rng_eff = jnp.where(
+        scan.valid, jnp.minimum(scan.ranges, jnp.minimum(prev_r, next_r)), 0.0
+    )
+
+    flat = bini.reshape(-1)
+    n = flat.shape[0]
+    chunk = min(8192, n)
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    iota_r = jnp.arange(r)
+
+    def take(bc):
+        oh = (bc[:, None] == iota_r[None, :]).astype(jnp.float32)
+        return jnp.dot(oh, rng_eff, preferred_element_type=jnp.float32)
+
+    cell_range = jax.lax.map(take, flat.reshape(-1, chunk)).reshape(-1)[:n]
+    cell_range = cell_range.reshape(h, w)
+    free = ok & (d < cell_range - cfg.hole_width / 2.0) & (d < cfg.max_range)
+    wgt = (
+        2.0
+        * jnp.arctan(scale / (2.0 * jnp.maximum(d, scale * 0.5)))
+        / jnp.abs(db)
+    )
+    return jnp.where(free, wgt, 0.0)
+
+
 def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     """Rasterize one scan from ``pose`` into observation planes.
 
@@ -220,19 +295,22 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     start = pose[:2]
 
     # --- free-space trace ---------------------------------------------------
-    n_s = cfg.n_free_samples(scale)
-    step = scale * cfg.step_fraction
-    t = (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * step  # [S]
-    pts = start + t[None, :, None] * dirs[:, None, :]  # [R, S, 2]
-    idx = gridlib.world_to_cell(gm, pts)  # [R, S, 2]
-    free_limit = scan.ranges - cfg.hole_width / 2.0
-    valid = scan.valid[:, None] & (t[None, :] < free_limit[:, None])
-    # consecutive-duplicate-cell mask: each crossed cell counted once per beam
-    same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
-    first = jnp.ones((idx.shape[0], 1), bool)
-    valid = valid & jnp.concatenate([first, ~same], axis=1)
-    w_free = _flat_scatter_add((h, w), idx[..., 0], idx[..., 1], jnp.ones(idx.shape[:2]), valid, cfg.scatter_impl)
-    # free observations carry occupancy 0 -> contribute to w only
+    if cfg.free_impl == "polar":
+        w_free = _polar_free_plane(h, w, gm.origin, scale, pose, scan, cfg)
+    else:
+        n_s = cfg.n_free_samples(scale)
+        step = scale * cfg.step_fraction
+        t = (jnp.arange(n_s, dtype=jnp.float32) + 0.5) * step  # [S]
+        pts = start + t[None, :, None] * dirs[:, None, :]  # [R, S, 2]
+        idx = gridlib.world_to_cell(gm, pts)  # [R, S, 2]
+        free_limit = scan.ranges - cfg.hole_width / 2.0
+        valid = scan.valid[:, None] & (t[None, :] < free_limit[:, None])
+        # consecutive-duplicate-cell mask: each crossed cell counted once per beam
+        same = jnp.all(idx[:, 1:] == idx[:, :-1], axis=-1)
+        first = jnp.ones((idx.shape[0], 1), bool)
+        valid = valid & jnp.concatenate([first, ~same], axis=1)
+        w_free = _flat_scatter_add((h, w), idx[..., 0], idx[..., 1], jnp.ones(idx.shape[:2]), valid, cfg.scatter_impl)
+        # free observations carry occupancy 0 -> contribute to w only
 
     # --- occupied evidence at endpoints -------------------------------------
     endpoints = start + scan.ranges[:, None] * dirs  # [R, 2]

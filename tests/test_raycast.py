@@ -105,3 +105,44 @@ def test_scatter_matmul_matches_scatter():
             occupancy_estimator=est, wall_blur=blur, scatter_impl="matmul"))
         d = float(jnp.abs(a.cells - b.cells).max())
         assert d <= tol, (est, blur, d)
+
+
+def test_polar_free_fill_agrees_with_dda():
+    # the dense polar fill must mark (approximately) the same free region
+    # as the per-beam DDA trace: same endpoint evidence, >=90% overlap of
+    # free cells, comparable total free weight
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=2)
+    bearings = datagen.default_bearings(360)
+    pose = jnp.array([0.4, -0.3, 0.2])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 120, 120, 0.1)
+    wd, sd = raycast.scan_observation_planes(gm, pose, s, raycast.BeamConfig(free_impl="dda"))
+    wp, sp = raycast.scan_observation_planes(gm, pose, s, raycast.BeamConfig(free_impl="polar"))
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sd))  # endpoints identical
+    free_d = (np.asarray(wd - sd) > 0)
+    free_p = (np.asarray(wp - sp) > 0)
+    overlap = (free_d & free_p).sum() / max(free_d.sum(), 1)
+    assert overlap > 0.9, f"free-region overlap {overlap}"
+    # polar is conservative (adjacent-beam min): it should not claim much
+    # free space the DDA doesn't
+    extra = (free_p & ~free_d).sum() / max(free_p.sum(), 1)
+    assert extra < 0.1, f"polar-only free fraction {extra}"
+    ratio = float(wp.sum() / wd.sum())
+    assert 0.7 < ratio < 1.3, f"free mass ratio {ratio}"
+
+
+def test_polar_free_fill_partial_fov():
+    # half-FOV scan: no free evidence behind the robot
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=0, seed=0)
+    bearings = datagen.default_bearings(181, fov=jnp.pi)  # [-pi/2, pi/2]
+    pose = jnp.array([0.0, 0.0, 0.0])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 120, 120, 0.1)
+    wp, sp = raycast.scan_observation_planes(gm, pose, s, raycast.BeamConfig(free_impl="polar"))
+    free = np.asarray(wp - sp) > 0
+    # cells well behind the robot (x < -0.5 m => col < 55) must stay empty
+    assert free[:, :55].sum() == 0
+    # ahead: plenty of free cells
+    assert free[:, 65:].sum() > 100
