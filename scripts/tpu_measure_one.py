@@ -88,6 +88,34 @@ def main():
             jax.jit(lambda v, s_, p: m3rsm.m3rsm_match(v, s_, p, None, m3c)),
             view, s, p0, n=3,
         )
+    elif name == "m3rsm_many":
+        # amortized per-request cost: 8 requests in ONE dispatch (standalone
+        # calls are dominated by the axon tunnel's per-call latency)
+        m3c = m3rsm.M3RSMConfig(half_x=0.6, half_y=0.6, half_theta=0.2,
+                                n_theta=9, levels=4, beam_width=128)
+        scans8 = jax.tree.map(lambda a: jnp.broadcast_to(a, (8, *a.shape)), s)
+        poses8 = jnp.broadcast_to(p0, (8, 3))
+        t = timeit(
+            jax.jit(lambda v, ss, pp: m3rsm.m3rsm_match_many(v, ss, pp, m3c)),
+            view, scans8, poses8, n=3,
+        ) / 8.0
+    elif name == "gn_scan":
+        # amortized GN solve: 10 optimize calls chained in one dispatch
+        from slam_constructor_tpu.models import posegraph as pg
+
+        cfgp = pg.PoseGraphConfig(max_keyframes=128, max_edges=512,
+                                  gn_iterations=10)
+        st = pg.init_state(cfgp, 60)
+        for i in range(20):
+            st = pg.add_keyframe(
+                cfgp, st, jnp.array([0.5 * i, 0.0, 0.0]),
+                jax.tree.map(lambda a: a[:60] if a.ndim else a, s),
+            )
+
+        def ten(x):
+            return jax.lax.fori_loop(0, 10, lambda _, y: pg.optimize(cfgp, y), x)
+
+        t = timeit(jax.jit(ten), st, n=3) / 10.0
     elif name == "gn_solve":
         from slam_constructor_tpu.models import posegraph as pg
 
