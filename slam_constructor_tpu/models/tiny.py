@@ -41,7 +41,8 @@ def tiny_config(
             scoring=scoring_cfg,
         ),
         beam=raycast.BeamConfig(
-            occupancy_estimator="const", hole_width=hole_width, wall_blur=True
+            occupancy_estimator="const", hole_width=hole_width, wall_blur=True,
+            free_impl="auto",
         ),
         map_height=map_size,
         map_width=map_size,

@@ -41,7 +41,8 @@ def viny_config(
         # walls against the strong free-space counts); 'area' remains a
         # config choice for the estimator-parity matrix
         beam=raycast.BeamConfig(
-            occupancy_estimator="const", hole_width=hole_width, wall_blur=True
+            occupancy_estimator="const", hole_width=hole_width, wall_blur=True,
+            free_impl="auto",
         ),
         map_height=map_size,
         map_width=map_size,

@@ -56,13 +56,22 @@ class BeamConfig:
     #: into planes. TPU scatter serializes; the matmul path rebuilds the
     #: plane as one-hot outer products on the MXU (A^T @ diag(v) B).
     scatter_impl: str = "auto"
-    #: 'dda' (per-beam line samples, reference-faithful Bresenham analogue)
-    #: or 'polar' (dense per-cell polar fill: a cell is free iff it lies
+    #: 'dda' (per-beam line samples, reference-faithful Bresenham analogue),
+    #: 'polar' (dense per-cell polar fill: a cell is free iff it lies
     #: closer than the range of the beam covering its angle — an
     #: elementwise pass over the map, ~300x fewer FLOPs than scattering
     #: the DDA samples through the MXU one-hot path; assumes uniformly
-    #: spaced bearings). Free-space only; endpoints keep their estimator.
+    #: spaced bearings), or 'auto' (polar on TPU — measured ~10-30x faster
+    #: per insert on v5e, TPU_MEASURES.jsonl — dda elsewhere).
+    #: Free-space only; endpoints keep their estimator.
     free_impl: str = "dda"
+
+    def resolved_free_impl(self) -> str:
+        if self.free_impl == "auto":
+            import jax
+
+            return "polar" if jax.default_backend() == "tpu" else "dda"
+        return self.free_impl
 
     def n_free_samples(self, scale: float) -> int:
         return int(math.ceil(self.max_range / (scale * self.step_fraction))) + 1
@@ -295,7 +304,7 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     start = pose[:2]
 
     # --- free-space trace ---------------------------------------------------
-    if cfg.free_impl == "polar":
+    if cfg.resolved_free_impl() == "polar":
         w_free = _polar_free_plane(h, w, gm.origin, scale, pose, scan, cfg)
     else:
         n_s = cfg.n_free_samples(scale)
