@@ -15,7 +15,9 @@ device-resident via lax.scan. Synthetic cecum-corridor data (datasets are
 unreachable offline — SURVEY.md §6).
 
 Env knobs: SLAM_BENCH_SCANS (default 256), SLAM_BENCH_BEAMS (360),
-SLAM_BENCH_MAP (256), SLAM_BENCH_PRESET (tiny|viny|gmapping).
+SLAM_BENCH_MAP (256), SLAM_BENCH_PRESET (tiny|viny|gmapping),
+SLAM_BENCH_DTYPE (float32|bfloat16 scoring-matmul operands),
+SLAM_BENCH_STRIDE (matcher beam stride; the reference SPE's skip knob).
 """
 
 from __future__ import annotations
@@ -63,7 +65,15 @@ def main():
 
     from slam_constructor_tpu.models import engine as eng
     from slam_constructor_tpu.models import gmapping, tiny, viny
+    from slam_constructor_tpu.ops import matchers, scoring
     from slam_constructor_tpu.utils import datagen
+
+    sc = scoring.ScoringConfig(
+        reducer="overlap",
+        window=1,
+        dtype=os.environ.get("SLAM_BENCH_DTYPE", "float32"),
+        stride=int(os.environ.get("SLAM_BENCH_STRIDE", 1)),
+    )
 
     occ, origin, scale = datagen.cecum_world()
     poses = datagen.rectangle_trajectory(step=9.6 / n_scans * 2)
@@ -78,14 +88,18 @@ def main():
 
     if preset == "gmapping":
         cfg = gmapping.GMappingConfig(
-            n_particles=30, map_height=map_size, map_width=map_size
+            n_particles=30, map_height=map_size, map_width=map_size,
+            matcher_cfg=matchers.MonteCarloConfig(
+                sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
+                scoring=sc,
+            ),
         )
         state = gmapping.init_state(cfg)
         run = lambda s: gmapping.run_sequence(cfg, s, scans, odom)
         metric = "gmapping_scans_per_sec"
     else:
         mk = viny.viny_config if preset == "viny" else tiny.tiny_config
-        cfg = mk(map_size=map_size)
+        cfg = mk(map_size=map_size, scoring_cfg=sc)
         state = eng.init_state(cfg)
         run = lambda s: eng.run_sequence(cfg, s, scans, odom)
         metric = f"{preset}_scans_per_sec"

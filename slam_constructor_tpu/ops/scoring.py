@@ -199,6 +199,19 @@ def score_poses(
     histogram to down-weight degenerate directions).
     """
     h, w = view.occ.shape
+    if cfg.stride > 1:
+        # slice beams BEFORE sampling: the strided weighted mean over the
+        # kept beams is bitwise the masked mean (subsample_mask keeps
+        # idx % stride == 0, exactly the [::stride] slice) while the
+        # sampling work — the dominant matmul — shrinks by the stride.
+        scan = scanlib.LaserScan(
+            ranges=scan.ranges[:: cfg.stride],
+            bearings=scan.bearings[:: cfg.stride],
+            valid=scan.valid[:: cfg.stride],
+        )
+        if point_weights is not None:
+            point_weights = point_weights[:: cfg.stride]
+        cfg = dataclasses.replace(cfg, stride=1)
     pts = scanlib.scan_points(scan)  # [R, 2] sensor frame
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords

@@ -51,6 +51,32 @@ def test_stride_subsampling(setup):
     assert 0.4 < float(p[0]) <= 1.0
 
 
+def test_stride_preslice_matches_masked_mean(setup):
+    """stride>1 slices beams before sampling (a compute saving); the result
+    must equal the stride=1 score restricted to the same beams by weights."""
+    view, s, true_pose = setup
+    poses = true_pose[None, :] + jnp.array(
+        [[0.0, 0.0, 0.0], [0.2, -0.1, 0.05]]
+    )
+    keep = (jnp.arange(s.n_beams) % 3 == 0).astype(jnp.float32)
+    for reducer in ("obstacle", "mean", "overlap", "max"):
+        for impl in ("gather", "matmul"):
+            if reducer == "max" and impl == "matmul":
+                continue
+            fast = scoring.score_poses(
+                view, s, poses,
+                scoring.ScoringConfig(reducer=reducer, stride=3, impl=impl),
+            )
+            ref = scoring.score_poses(
+                view, s, poses,
+                scoring.ScoringConfig(reducer=reducer, stride=1, impl=impl),
+                point_weights=keep,
+            )
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(ref), atol=1e-6
+            )
+
+
 def test_point_weights(setup):
     view, s, true_pose = setup
     w = jnp.zeros(s.n_beams).at[0].set(1.0)  # only beam 0 counts
