@@ -46,6 +46,22 @@ def test_monte_carlo_recovers_pose(setup):
     assert recovered(res, true_pose)
 
 
+def test_monte_carlo_beam_window_recovers_pose(setup):
+    view, s, true_pose = setup
+    bw = matchers.auto_beam_window(0.1, 0.03, 15.0, 0.1)
+    assert bw < 80  # a real window, not the degenerate whole-map case
+    cfg = matchers.MonteCarloConfig(
+        sigma_xy=0.1, sigma_theta=0.03, batch=48, rounds=16,
+        scoring=SCORING, beam_window=bw,
+    )
+    res = matchers.monte_carlo_match(
+        view, s, true_pose + DISPLACEMENT, jax.random.PRNGKey(3), cfg
+    )
+    assert recovered(res, true_pose)
+    # prob must be a real in-window score, not unknown backfill
+    assert float(res.prob) > 0.55
+
+
 def test_hill_climbing_recovers_pose(setup):
     view, s, true_pose = setup
     cfg = matchers.HillClimbingConfig(iterations=24, scoring=SCORING)
