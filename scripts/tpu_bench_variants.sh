@@ -5,14 +5,17 @@
 # the JSON line + variant tag to TPU_BENCH_VARIANTS.jsonl.
 cd /root/repo
 OUT=TPU_BENCH_VARIANTS.jsonl
-# variant format: tag,PRESET,DTYPE,STRIDE
+# variant format: tag,PRESET,DTYPE,STRIDE,BEAMWIN
+# tiny_f32 first: it is exactly what the driver's end-of-round `python
+# bench.py` runs, so its number predicts the recorded headline.
 VARIANTS=(
-  "gmapping_f32,gmapping,float32,1"
-  "gmapping_bf16_s2,gmapping,bfloat16,2"
-  "gmapping_bf16,gmapping,bfloat16,1"
-  "tiny_bf16,tiny,bfloat16,1"
-  "tiny_f32,tiny,float32,1"
-  "viny_bf16,viny,bfloat16,1"
+  "tiny_f32,tiny,float32,1,0"
+  "tiny_f32_bw,tiny,float32,1,auto"
+  "tiny_bf16,tiny,bfloat16,1,0"
+  "tiny_bf16_bw,tiny,bfloat16,1,auto"
+  "gmapping_bf16,gmapping,bfloat16,1,0"
+  "gmapping_bf16_bw,gmapping,bfloat16,1,auto"
+  "viny_f32,viny,float32,1,0"
 )
 for i in $(seq 1 400); do
   if ! timeout 60 python -c "
@@ -24,11 +27,12 @@ assert float(np.asarray(jnp.ones((64,64))@jnp.ones((64,64)))[0,0]) == 64.0
   fi
   ran=0
   for v in "${VARIANTS[@]}"; do
-    IFS=, read -r tag preset dtype stride <<<"$v"
+    IFS=, read -r tag preset dtype stride beamwin <<<"$v"
     grep -q "\"tag\": \"$tag\"" "$OUT" 2>/dev/null && continue
     echo "[variants] $tag"
     line=$(SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=$preset \
            SLAM_BENCH_DTYPE=$dtype SLAM_BENCH_STRIDE=$stride \
+           SLAM_BENCH_BEAMWIN=$beamwin \
            timeout 420 python bench.py 2>/dev/null | tail -1)
     if [ -n "$line" ]; then
       echo "${line%\}}, \"tag\": \"$tag\", \"ts\": $(date +%s)}" >>"$OUT"

@@ -76,6 +76,58 @@ def build_pyramid(view: MapView, levels: int, unknown_prob: float) -> tuple:
     return tuple(planes)
 
 
+def update_pyramid(
+    planes: tuple,
+    view: MapView,
+    unknown_prob: float,
+    center_rc: Array,
+    size: int,
+) -> tuple:
+    """Incrementally refresh a pyramid after a local map edit.
+
+    The reference's ``RescalableCachingGridMap`` keeps its coarse
+    max-occupancy caches *live*: every cell write updates the coarser levels
+    too (``src/core/maps/rescalable_caching_grid_map.h`` [unverified]).
+    ``build_pyramid`` is the full-rebuild equivalent; this is the
+    incremental one — only the ``size x size`` region around ``center_rc``
+    (a scan insert's footprint) is re-pooled, level by level, with
+    ``dynamic_slice``/``dynamic_update_slice`` so the op is jit-safe with a
+    traced center. Cost is O(size^2) instead of O(H*W) per refresh.
+
+    Requirements (checked statically): every plane dimension and ``size``
+    must be multiples of ``2**levels`` so regions stay 2x2-aligned at every
+    level. The region start is aligned *down* to the ``2**levels`` grid, so
+    pass ``size >= touched_bbox + 2**levels`` to guarantee coverage.
+
+    Exact: returns planes identical to ``build_pyramid(view, ...)`` whenever
+    every cell that changed since the planes were built lies inside the
+    aligned region (test_m3rsm.py::test_update_pyramid_matches_rebuild).
+    """
+    levels = len(planes) - 1
+    step = 1 << levels
+    h0, w0 = planes[0].shape
+    if h0 % step or w0 % step or size % step:
+        raise ValueError(
+            f"update_pyramid needs dims and size divisible by 2^levels={step}"
+            f" (got {h0}x{w0}, size={size}); use build_pyramid instead"
+        )
+    size = min(size, h0, w0)
+    v = jnp.where(view.known, view.occ, unknown_prob)
+    r0 = jnp.clip(center_rc[0] - size // 2, 0, h0 - size)
+    c0 = jnp.clip(center_rc[1] - size // 2, 0, w0 - size)
+    r0 = (r0 // step) * step
+    c0 = (c0 // step) * step
+    reg = jax.lax.dynamic_slice(v, (r0, c0), (size, size))
+    out = [jax.lax.dynamic_update_slice(planes[0], reg, (r0, c0))]
+    for lvl in range(1, levels + 1):
+        reg = jax.lax.reduce_window(
+            reg, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
+        )
+        r0, c0 = r0 // 2, c0 // 2
+        out.append(jax.lax.dynamic_update_slice(planes[lvl], reg, (r0, c0)))
+    return tuple(out)
+
+
 def _score_level(
     plane: Array,
     c0: Array,  # i32[n_theta, R, 2] finest-level endpoint cells (row, col)
@@ -133,11 +185,22 @@ def m3rsm_match(
     key: Array | None = None,
     cfg: M3RSMConfig = M3RSMConfig(),
     point_weights: Array | None = None,
+    pyramid: tuple | None = None,
 ) -> MatchResult:
-    """Global match over the (x, y, theta) window around ``init_pose``."""
+    """Global match over the (x, y, theta) window around ``init_pose``.
+
+    ``pyramid``: optionally pass live-maintained planes (``build_pyramid``
+    once + ``update_pyramid`` per insert — the RescalableCachingGridMap
+    caching contract) to skip the per-call full rebuild.
+    """
     del key
     ucfg = cfg.scoring
-    pyramid = build_pyramid(view, cfg.levels, ucfg.unknown_prob)
+    if pyramid is None:
+        pyramid = build_pyramid(view, cfg.levels, ucfg.unknown_prob)
+    elif len(pyramid) != cfg.levels + 1:
+        raise ValueError(
+            f"pyramid has {len(pyramid) - 1} levels, config wants {cfg.levels}"
+        )
 
     # rotated endpoint cells at zero translation, for every candidate theta
     thetas = jnp.linspace(-cfg.half_theta, cfg.half_theta, cfg.n_theta)

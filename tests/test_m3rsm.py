@@ -124,3 +124,57 @@ def test_m3rsm_match_many_matches_single():
         np.testing.assert_allclose(
             np.asarray(many.prob[b]), np.asarray(one.prob), atol=1e-6
         )
+
+
+def test_update_pyramid_matches_rebuild(setup):
+    """Incremental regional refresh == full rebuild when every changed cell
+    lies inside the refreshed region (the RescalableCachingGridMap live-cache
+    contract — SURVEY.md §2.3)."""
+    import dataclasses as dc
+
+    view, _, _ = setup
+    levels = 3
+    planes = m3rsm.build_pyramid(view, levels, 0.5)
+
+    # local edit: bump occupancy in a 20x20 patch
+    occ2 = view.occ.at[40:60, 50:70].set(0.9)
+    known2 = view.known.at[40:60, 50:70].set(True)
+    view2 = scoring.MapView(
+        occ=occ2, known=known2, origin=view.origin, scale=view.scale
+    )
+
+    full = m3rsm.build_pyramid(view2, levels, 0.5)
+    inc = jax.jit(
+        lambda pl, v, c: m3rsm.update_pyramid(pl, v, 0.5, c, size=48)
+    )(planes, view2, jnp.array([50, 60], jnp.int32))
+    assert len(inc) == len(full)
+    for a, b in zip(inc, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_update_pyramid_rejects_misaligned():
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 80, 80, 0.1)
+    view = scoring.MapView.of(gm, model)
+    planes = m3rsm.build_pyramid(view, 4, 0.5)
+    with pytest.raises(ValueError):  # size 40 is not 2^4-aligned
+        m3rsm.update_pyramid(planes, view, 0.5, jnp.array([40, 40]), size=40)
+    with pytest.raises(ValueError):  # 80 is not 2^5-aligned
+        planes5 = m3rsm.build_pyramid(view, 5, 0.5)
+        m3rsm.update_pyramid(planes5, view, 0.5, jnp.array([40, 40]), size=32)
+
+
+def test_m3rsm_cached_pyramid_equals_rebuild(setup):
+    """m3rsm_match fed live-maintained planes returns the identical result
+    to its internal full rebuild."""
+    view, s, true_pose = setup
+    # 80x80 map is not 2^levels aligned -> exercise the cache via direct
+    # build (update_pyramid alignment is tested separately above)
+    cfg = m3rsm.M3RSMConfig(half_x=0.4, half_y=0.4, n_theta=5, levels=3,
+                            beam_width=64)
+    init = true_pose + jnp.array([0.2, -0.15, 0.05])
+    cached = m3rsm.build_pyramid(view, cfg.levels, cfg.scoring.unknown_prob)
+    a = m3rsm.m3rsm_match(view, s, init, None, cfg)
+    b = m3rsm.m3rsm_match(view, s, init, None, cfg, pyramid=cached)
+    np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose))
+    np.testing.assert_allclose(np.asarray(a.prob), np.asarray(b.prob))
