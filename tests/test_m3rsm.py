@@ -130,8 +130,6 @@ def test_update_pyramid_matches_rebuild(setup):
     """Incremental regional refresh == full rebuild when every changed cell
     lies inside the refreshed region (the RescalableCachingGridMap live-cache
     contract — SURVEY.md §2.3)."""
-    import dataclasses as dc
-
     view, _, _ = setup
     levels = 3
     planes = m3rsm.build_pyramid(view, levels, 0.5)
