@@ -175,7 +175,7 @@ def kernel_reports(scans, cfg) -> None:
             f = jax.jit(lambda v, s, c: scoring.score_poses(v, s, c, sc))
             t = profiling.timed(f, view, s0, cand, iters=10)
             n = k * r
-            flops = 2.0 * n * h * w / (h // h)  # selection matmul dominates
+            flops = 2.0 * n * h * w  # selection matmul dominates
             bytes_acc = 4.0 * (n * h + n * w + h * w + n * w)
             reports.append(
                 profiling.sol_report(f"score_{impl}", t, flops, bytes_acc)
