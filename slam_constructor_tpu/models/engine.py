@@ -86,6 +86,36 @@ class SlamState:
     key: Array
     step: Array  # i32[]
     last_prob: Array  # f32[]
+    #: live max-occupancy pyramid for the M3RSM matcher (the reference's
+    #: RescalableCachingGridMap keeps its coarse caches current on every
+    #: write — SURVEY.md §2.3); empty tuple when the matcher doesn't use one
+    pyramid: tuple = struct.field(default_factory=tuple)
+
+
+def _uses_pyramid(cfg: EngineConfig) -> bool:
+    return cfg.matcher == "m3rsm" and cfg.map_storage == "dense"
+
+
+def _refresh_pyramid(cfg: EngineConfig, gm, pose: Array, pyramid: tuple) -> tuple:
+    """Re-pool the pyramid region a scan insert from ``pose`` can touch.
+
+    Incremental (O(footprint^2)) when map dims are 2^levels-aligned and the
+    footprint is smaller than the map; otherwise a full rebuild (same cost
+    as before the cache existed, never worse)."""
+    from ..ops import m3rsm as m3rsmlib
+
+    mcfg = cfg.matcher_cfg
+    levels = mcfg.levels
+    unknown = mcfg.scoring.unknown_prob
+    view = scoring.MapView.of(gm, cfg.cell_model)
+    h, w = view.occ.shape
+    step = 1 << levels
+    bbox = 2 * int(-(-cfg.beam.max_range // cfg.map_scale)) + 4
+    size = m3rsmlib.pyramid_refresh_size(bbox, levels, min(h, w))
+    if h % step or w % step or size >= min(h, w):
+        return m3rsmlib.build_pyramid(view, levels, unknown)
+    center = gridlib.world_to_cell(gm, pose[None, :2])[0]
+    return m3rsmlib.update_pyramid(pyramid, view, unknown, center, size)
 
 
 def init_state(cfg: EngineConfig, key: Array | None = None) -> SlamState:
@@ -106,12 +136,22 @@ def init_state(cfg: EngineConfig, key: Array | None = None) -> SlamState:
         gm = gridlib.make_grid_map(
             cfg.cell_model, cfg.map_height, cfg.map_width, cfg.map_scale
         )
+    pyramid: tuple = ()
+    if _uses_pyramid(cfg):
+        from ..ops import m3rsm as m3rsmlib
+
+        pyramid = m3rsmlib.build_pyramid(
+            scoring.MapView.of(gm, cfg.cell_model),
+            cfg.matcher_cfg.levels,
+            cfg.matcher_cfg.scoring.unknown_prob,
+        )
     return SlamState(
         gm=gm,
         pose=jnp.zeros(3, jnp.float32),
         key=key,
         step=jnp.int32(0),
         last_prob=jnp.float32(0.0),
+        pyramid=pyramid,
     )
 
 
@@ -180,7 +220,14 @@ def slam_step(
         gm = blockmap.insert_scan(state.gm, cfg.cell_model, res.pose, masked, cfg.beam)
     else:
         view = scoring.MapView.of(state.gm, cfg.cell_model)
-        res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
+        if _uses_pyramid(cfg) and state.pyramid:
+            # live RescalableCachingGridMap cache: no per-match rebuild
+            res = match_fn(
+                view, scan, prior, sub, cfg.matcher_cfg, pw,
+                pyramid=state.pyramid,
+            )
+        else:
+            res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
         res = _refine(cfg, view, scan, res, sub, pw)
         w_obs, s_obs = raycast.scan_observation_planes(
             state.gm, res.pose, scan, cfg.beam
@@ -190,8 +237,12 @@ def slam_step(
         gm = gridlib.apply_observations(
             state.gm, cfg.cell_model, q * w_obs, q * s_obs
         )
+    pyramid = state.pyramid
+    if _uses_pyramid(cfg) and pyramid:
+        pyramid = _refresh_pyramid(cfg, gm, res.pose, pyramid)
     return SlamState(
-        gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob
+        gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob,
+        pyramid=pyramid,
     )
 
 
@@ -249,9 +300,19 @@ class Engine:
         )
         if pts.size == 0:
             return
-        self.state = self.state.replace(
-            gm=gridlib.grow_to_contain(self.state.gm, self.cfg.cell_model, pts)
-        )
+        gm = gridlib.grow_to_contain(self.state.gm, self.cfg.cell_model, pts)
+        pyramid = self.state.pyramid
+        if pyramid and gm.cells.shape != self.state.gm.cells.shape:
+            # growth changed the map extent: the cached pyramid is stale in
+            # shape — rebuild it (rare host-side event, like the regrow)
+            from ..ops import m3rsm as m3rsmlib
+
+            pyramid = m3rsmlib.build_pyramid(
+                scoring.MapView.of(gm, self.cfg.cell_model),
+                self.cfg.matcher_cfg.levels,
+                self.cfg.matcher_cfg.scoring.unknown_prob,
+            )
+        self.state = self.state.replace(gm=gm, pyramid=pyramid)
 
     def run(self, scans: LaserScan, odom: Array):
         """Offline mode: whole sequence in one device dispatch."""

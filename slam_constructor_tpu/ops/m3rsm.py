@@ -76,6 +76,16 @@ def build_pyramid(view: MapView, levels: int, unknown_prob: float) -> tuple:
     return tuple(planes)
 
 
+def pyramid_refresh_size(touched_bbox: int, levels: int, dim_cap: int) -> int:
+    """Smallest ``size`` for :func:`update_pyramid` that guarantees a
+    ``touched_bbox``-cell edit around the center is fully re-pooled despite
+    the window's align-down shift (up to ``2**levels - 1`` cells), capped at
+    the (``2**levels``-aligned) map extent."""
+    step = 1 << levels
+    size = ((touched_bbox + 2 * step + step - 1) // step) * step
+    return min(size, (dim_cap // step) * step)
+
+
 def update_pyramid(
     planes: tuple,
     view: MapView,
@@ -96,12 +106,18 @@ def update_pyramid(
 
     Requirements (checked statically): every plane dimension and ``size``
     must be multiples of ``2**levels`` so regions stay 2x2-aligned at every
-    level. The region start is aligned *down* to the ``2**levels`` grid, so
-    pass ``size >= touched_bbox + 2**levels`` to guarantee coverage.
+    level. The region start is aligned *down* to the ``2**levels`` grid,
+    which can shift the window low edge by up to ``2**levels - 1`` cells —
+    so the *guaranteed* covered span is only ``center_rc ± (size//2 -
+    (2**levels - 1))`` per axis. Callers must therefore pass
+    ``size >= touched_bbox + 2 * 2**levels`` (rounded up to a multiple of
+    ``2**levels``); :func:`pyramid_refresh_size` computes this.
 
     Exact: returns planes identical to ``build_pyramid(view, ...)`` whenever
     every cell that changed since the planes were built lies inside the
-    aligned region (test_m3rsm.py::test_update_pyramid_matches_rebuild).
+    aligned region (test_m3rsm.py::test_update_pyramid_matches_rebuild,
+    incl. the worst-case alignment where the unaligned start ≡ step-1
+    mod step).
     """
     levels = len(planes) - 1
     step = 1 << levels
@@ -200,6 +216,12 @@ def m3rsm_match(
     elif len(pyramid) != cfg.levels + 1:
         raise ValueError(
             f"pyramid has {len(pyramid) - 1} levels, config wants {cfg.levels}"
+        )
+    elif pyramid[0].shape != view.occ.shape:
+        # a pyramid built for a different (e.g. pre-grow) map shape would
+        # silently mis-match; shapes are static so this check is trace-free
+        raise ValueError(
+            f"pyramid level 0 shape {pyramid[0].shape} != map {view.occ.shape}"
         )
 
     # rotated endpoint cells at zero translation, for every candidate theta

@@ -185,6 +185,8 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
     valid = valid & jnp.concatenate([first, ~same], axis=1)
 
     endpoints = start + scan.ranges[:, None] * dirs
+    # usable-range cap on endpoint evidence (same rule as the dense path)
+    ep_valid = scan.valid & (scan.ranges <= cfg.max_range)
     rows = [idx[..., 0].ravel()]
     cols = [idx[..., 1].ravel()]
     w = [jnp.where(valid, 1.0, 0.0).ravel()]
@@ -192,7 +194,7 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
 
     if cfg.occupancy_estimator == "area":
         r9, c9, wgt, occv = _endpoint_area_obs(
-            gm_like, endpoints, scan.valid, cfg.hole_width
+            gm_like, endpoints, ep_valid, cfg.hole_width
         )
         rows.append(r9.ravel())
         cols.append(c9.ravel())
@@ -202,8 +204,8 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
         eidx = gridlib.world_to_cell(gm_like, endpoints)
         rows.append(eidx[..., 0])
         cols.append(eidx[..., 1])
-        w.append(scan.valid.astype(jnp.float32))
-        s.append(scan.valid.astype(jnp.float32))
+        w.append(ep_valid.astype(jnp.float32))
+        s.append(ep_valid.astype(jnp.float32))
 
     if cfg.wall_blur:
         bt = jnp.linspace(-1.0, 1.0, cfg.blur_samples)
@@ -211,7 +213,7 @@ def scan_sample_cells(origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamCon
         pb = start + tb[..., None] * dirs[:, None, :]
         ib = gridlib.world_to_cell(gm_like, pb)
         ramp = jnp.broadcast_to(1.0 - jnp.abs(bt)[None, :], tb.shape)
-        vb = (scan.valid[:, None] & (tb > 0)).astype(jnp.float32)
+        vb = (ep_valid[:, None] & (tb > 0)).astype(jnp.float32)
         rows.append(ib[..., 0].ravel())
         cols.append(ib[..., 1].ravel())
         w.append((ramp * vb).ravel())
@@ -322,15 +324,21 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
         # free observations carry occupancy 0 -> contribute to w only
 
     # --- occupied evidence at endpoints -------------------------------------
+    # beams longer than max_range carry no endpoint evidence (the scan
+    # adder's usable-range cap, matching the free-space trace's reach — a
+    # hit past the cap is as unobserved as no hit); this also bounds the
+    # insert footprint to max_range, which the engine's incremental pyramid
+    # refresh (models/engine.py::_refresh_pyramid) relies on
+    ep_valid = scan.valid & (scan.ranges <= cfg.max_range)
     endpoints = start + scan.ranges[:, None] * dirs  # [R, 2]
     if cfg.occupancy_estimator == "area":
-        r9, c9, wgt, occ = _endpoint_area_obs(gm, endpoints, scan.valid, cfg.hole_width)
+        r9, c9, wgt, occ = _endpoint_area_obs(gm, endpoints, ep_valid, cfg.hole_width)
         w_occ = _flat_scatter_add((h, w), r9, c9, wgt, wgt > 0, cfg.scatter_impl)
         s_occ = _flat_scatter_add((h, w), r9, c9, wgt * occ, wgt > 0, cfg.scatter_impl)
     else:
         eidx = gridlib.world_to_cell(gm, endpoints)
         ones = jnp.ones(eidx.shape[:1])
-        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, scan.valid, cfg.scatter_impl)
+        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, ep_valid, cfg.scatter_impl)
         s_occ = w_occ  # occupancy 1.0 at hit cells
 
     if cfg.wall_blur:
@@ -344,7 +352,7 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
         pb = start + tb[..., None] * dirs[:, None, :]  # [R, B, 2]
         ib = gridlib.world_to_cell(gm, pb)
         occ_ramp = jnp.broadcast_to(1.0 - jnp.abs(bt)[None, :], tb.shape)
-        vb = scan.valid[:, None] & (tb > 0)
+        vb = ep_valid[:, None] & (tb > 0)
         # weight AND observed occupancy both taper with the triangle, so the
         # map reads occupancy ~ramp at distance |d| from the wall center
         wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb, cfg.scatter_impl)

@@ -184,6 +184,56 @@ def test_m3rsm_engine_end_to_end(sequence):
     assert err < 0.25, err
 
 
+def test_m3rsm_live_pyramid_equals_rebuild(sequence):
+    """The engine-maintained live pyramid (build at init + incremental
+    update_pyramid per insert — the RescalableCachingGridMap caching
+    contract) must track identically to per-scan full rebuilds."""
+    import dataclasses
+
+    from slam_constructor_tpu.ops import m3rsm as m3
+    from slam_constructor_tpu.ops import raycast
+    from slam_constructor_tpu.ops import scoring as sc
+
+    scans, odom, gt = sequence
+    cfg = tiny.tiny_config(map_size=128)
+    cfg = dataclasses.replace(
+        cfg,
+        matcher="m3rsm",
+        matcher_cfg=m3.M3RSMConfig(
+            half_x=0.3, half_y=0.3, half_theta=0.1, n_theta=5, levels=3,
+            beam_width=64, scoring=sc.ScoringConfig(reducer="overlap"),
+        ),
+        # short reach => insert footprint (2*30+4 cells) < map extent, so
+        # the engine takes the incremental update_pyramid path, not the
+        # full-rebuild fallback
+        beam=raycast.BeamConfig(max_range=3.0),
+    )
+    st_live = eng.init_state(cfg)
+    assert len(st_live.pyramid) == cfg.matcher_cfg.levels + 1
+    st_ref = st_live.replace(pyramid=())  # disables the cache entirely
+    step = jax.jit(lambda s, scan, od: eng.slam_step(cfg, s, scan, od))
+    for t in range(6):
+        scan = jax.tree.map(lambda a: a[t], scans)
+        st_live = step(st_live, scan, odom[t])
+        st_ref = step(st_ref, scan, odom[t])
+        np.testing.assert_allclose(
+            np.asarray(st_live.pose), np.asarray(st_ref.pose), atol=0, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_live.last_prob), np.asarray(st_ref.last_prob),
+            atol=0, rtol=0,
+        )
+    # and the carried planes equal a from-scratch rebuild of the final map
+    from slam_constructor_tpu.ops import scoring as scr
+
+    rebuilt = m3.build_pyramid(
+        scr.MapView.of(st_live.gm, cfg.cell_model),
+        cfg.matcher_cfg.levels, cfg.matcher_cfg.scoring.unknown_prob,
+    )
+    for a, b in zip(st_live.pyramid, rebuilt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_long_sequence_stability():
     """5 laps (460 scans): drift must stay bounded (no slow divergence) and

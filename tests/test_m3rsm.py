@@ -157,17 +157,62 @@ def test_update_pyramid_rejects_misaligned():
     planes = m3rsm.build_pyramid(view, 4, 0.5)
     with pytest.raises(ValueError):  # size 40 is not 2^4-aligned
         m3rsm.update_pyramid(planes, view, 0.5, jnp.array([40, 40]), size=40)
+    planes5 = m3rsm.build_pyramid(view, 5, 0.5)  # outside raises: must not throw
     with pytest.raises(ValueError):  # 80 is not 2^5-aligned
-        planes5 = m3rsm.build_pyramid(view, 5, 0.5)
         m3rsm.update_pyramid(planes5, view, 0.5, jnp.array([40, 40]), size=32)
+
+
+def test_m3rsm_rejects_stale_pyramid_shape(setup):
+    view, s, true_pose = setup
+    cfg = m3rsm.M3RSMConfig(n_theta=3, levels=3, beam_width=32)
+    wrong = m3rsm.build_pyramid(
+        scoring.MapView(
+            occ=jnp.zeros((64, 64)), known=jnp.zeros((64, 64), bool),
+            origin=view.origin, scale=view.scale,
+        ),
+        cfg.levels, 0.5,
+    )
+    with pytest.raises(ValueError, match="shape"):
+        m3rsm.m3rsm_match(view, s, true_pose, None, cfg, pyramid=wrong)
+
+
+def test_update_pyramid_worst_case_alignment():
+    """Regression for the align-down coverage hole: the unaligned window
+    start ≡ step-1 (mod step) floors DOWN by step-1 cells, so an edit whose
+    high edge sits at center + size//2 - step would escape a window sized by
+    the old (too-weak) `bbox + step` rule. pyramid_refresh_size's
+    `bbox + 2*step` guarantee must keep incremental == rebuild here."""
+    levels = 3
+    step = 1 << levels
+    h = w = 64
+    base = scoring.MapView(
+        occ=jnp.full((h, w), 0.2), known=jnp.ones((h, w), bool),
+        origin=jnp.zeros(2), scale=0.1,
+    )
+    planes = m3rsm.build_pyramid(base, levels, 0.5)
+    # 16-cell edit ending at row 43; center 35 with size 24 gives unaligned
+    # start 23 ≡ 7 (mod 8) -> floors to 16, old window [16, 40) missed rows
+    # 40..42 (the advisor's reproduction). The corrected size covers it.
+    bbox = 16
+    center = jnp.array([35, 35], jnp.int32)
+    occ2 = base.occ.at[27:43, 27:43].set(0.95)
+    view2 = scoring.MapView(occ=occ2, known=base.known, origin=base.origin,
+                            scale=base.scale)
+    size = m3rsm.pyramid_refresh_size(bbox, levels, h)
+    assert size >= bbox + 2 * step
+    inc = m3rsm.update_pyramid(planes, view2, 0.5, center, size=size)
+    full = m3rsm.build_pyramid(view2, levels, 0.5)
+    for a, b in zip(inc, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_m3rsm_cached_pyramid_equals_rebuild(setup):
     """m3rsm_match fed live-maintained planes returns the identical result
     to its internal full rebuild."""
     view, s, true_pose = setup
-    # 80x80 map is not 2^levels aligned -> exercise the cache via direct
-    # build (update_pyramid alignment is tested separately above)
+    # the cache is built directly here (update_pyramid's incremental
+    # maintenance is covered separately above); this test checks the
+    # pyramid= fast path of m3rsm_match itself
     cfg = m3rsm.M3RSMConfig(half_x=0.4, half_y=0.4, n_theta=5, levels=3,
                             beam_width=64)
     init = true_pose + jnp.array([0.2, -0.15, 0.05])
