@@ -17,9 +17,7 @@ unreachable offline — SURVEY.md §6).
 Env knobs: SLAM_BENCH_SCANS (default 256), SLAM_BENCH_BEAMS (360),
 SLAM_BENCH_MAP (256), SLAM_BENCH_PRESET (tiny|viny|gmapping),
 SLAM_BENCH_DTYPE (float32|bfloat16 scoring-matmul operands),
-SLAM_BENCH_STRIDE (matcher beam stride; the reference SPE's skip knob),
-SLAM_BENCH_BEAMWIN (per-beam scoring window in cells, "auto" for the exact
-3-sigma bound, 0 = full-map scoring).
+SLAM_BENCH_STRIDE (matcher beam stride; the reference SPE's skip knob).
 """
 
 from __future__ import annotations
@@ -76,8 +74,6 @@ def main():
         dtype=os.environ.get("SLAM_BENCH_DTYPE", "float32"),
         stride=int(os.environ.get("SLAM_BENCH_STRIDE", 1)),
     )
-    beamwin = os.environ.get("SLAM_BENCH_BEAMWIN", "0")
-
     occ, origin, scale = datagen.cecum_world()
     poses = datagen.rectangle_trajectory(step=9.6 / n_scans * 2)
     # tile the loop to n_scans steps
@@ -95,10 +91,6 @@ def main():
             matcher_cfg=matchers.MonteCarloConfig(
                 sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
                 scoring=sc,
-                beam_window=(
-                    matchers.auto_beam_window(0.08, 0.04, 15.0, 0.1)
-                    if beamwin == "auto" else int(beamwin)
-                ),
             ),
         )
         state = gmapping.init_state(cfg)
@@ -106,7 +98,7 @@ def main():
         metric = "gmapping_scans_per_sec"
     else:
         mk = viny.viny_config if preset == "viny" else tiny.tiny_config
-        cfg = mk(map_size=map_size, scoring_cfg=sc, mc_beam_window=beamwin if beamwin == "auto" else int(beamwin))
+        cfg = mk(map_size=map_size, scoring_cfg=sc)
         state = eng.init_state(cfg)
         run = lambda s: eng.run_sequence(cfg, s, scans, odom)
         metric = f"{preset}_scans_per_sec"

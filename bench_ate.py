@@ -8,9 +8,66 @@ available), 120 beams, odometry noise 2 cm / 0.012 rad per step.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
+
+
+def dataset_main(path: str, preset: str, out: str | None) -> None:
+    """Real-dataset mode: ``python bench_ate.py --dataset <carmen.clf>``.
+
+    Parses a CARMEN log (FLASER/ROBOTLASER1; native parser when available),
+    runs the chosen preset, and prints one JSON line. ATE is reported when
+    the log carries TRUEPOS ground truth; the estimated trajectory is
+    written in TUM format (--out) so external ATE tooling can score runs
+    whose ground truth ships separately (MIT Stata/TUM style)."""
+    import jax
+
+    if os.environ.get("SLAM_ATE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_constructor_tpu.models import gmapping, tiny, viny
+    from slam_constructor_tpu.utils import dataset, evaluate, trajectory
+
+    log = dataset.read_carmen(path)
+    scans, odom, ts = dataset.to_sequence(log)
+    gt = log.gt_at_scans()
+    n = int(odom.shape[0])
+
+    t0 = time.perf_counter()
+    if preset == "gmapping":
+        e = gmapping.GMappingEngine(
+            gmapping.GMappingConfig(n_particles=16, map_height=512,
+                                    map_width=512)
+        )
+        if gt is not None:
+            e.state = e.state.replace(
+                poses=jnp.broadcast_to(jnp.asarray(gt[0]), (16, 3))
+            )
+        traj, _ = e.run(scans, odom)
+    else:
+        mk = viny.make_engine if preset == "viny" else tiny.make_engine
+        e = mk(map_size=512)
+        if gt is not None:
+            e.state = e.state.replace(pose=jnp.asarray(gt[0]))
+        traj, _ = e.run(scans, odom)
+    np.asarray(traj)
+    dt = time.perf_counter() - t0
+
+    rec = {"preset": preset, "dataset": os.path.basename(path), "scans": n,
+           "scans_per_sec": round(n / dt, 2)}
+    if gt is not None:
+        rec["ate_m"] = round(float(evaluate.ate(traj, jnp.asarray(gt),
+                                                align=False)), 4)
+        rpe_t, rpe_r = evaluate.rpe(traj, jnp.asarray(gt))
+        rec["rpe_t_m"] = round(float(rpe_t), 4)
+    if out:
+        trajectory.save_tum(out, np.asarray(traj), np.asarray(ts))
+        rec["trajectory"] = out
+    print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -98,4 +155,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", help="CARMEN log file (real-dataset mode)")
+    ap.add_argument("--preset", default="tiny",
+                    choices=["tiny", "viny", "gmapping"])
+    ap.add_argument("--out", help="write estimated trajectory (TUM format)")
+    args = ap.parse_args()
+    if args.dataset:
+        dataset_main(args.dataset, args.preset, args.out)
+    else:
+        main()

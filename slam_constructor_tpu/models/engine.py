@@ -216,8 +216,16 @@ def slam_step(
         res = match_fn(view, scan, prior, sub, cfg.matcher_cfg, pw)
         res = _refine(cfg, view, scan, res, sub, pw)
         do_insert = (res.prob >= cfg.min_insert_prob) | (state.step == 0)
-        masked = scan.replace(valid=scan.valid & do_insert)
-        gm = blockmap.insert_scan(state.gm, cfg.cell_model, res.pose, masked, cfg.beam)
+        # TransformedLaserScan-quality parity with the dense branch: the
+        # observation weights are scaled by q (q = 0 when gated — zero-weight
+        # samples allocate no tiles and the cell fold no-ops on them)
+        q = jnp.where(do_insert, jnp.asarray(quality, jnp.float32), 0.0)
+        rows, cols, w_obs, s_obs = raycast.scan_sample_cells(
+            state.gm.origin, state.gm.scale, res.pose, scan, cfg.beam
+        )
+        gm = blockmap.scatter_observations(
+            state.gm, cfg.cell_model, rows, cols, q * w_obs, q * s_obs
+        )
     else:
         view = scoring.MapView.of(state.gm, cfg.cell_model)
         if _uses_pyramid(cfg) and state.pyramid:

@@ -72,6 +72,13 @@ class FullSlamEngine:
         #: 4 flops — running it on host avoids a device sync per scan (the
         #: tracking step stays fully async-dispatched between keyframes)
         self._last_kf_pose_host = None
+        self._rejit()
+
+    def _rejit(self):
+        """(Re)build the graph-rate jitted functions against the current
+        graph config — called at init and after every capacity growth."""
+        t = self.cfg.tracking
+        model = t.cell_model
         self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
         self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
         self._densify = jax.jit(partial(pg.densify_loops, self.cfg.graph, model))
@@ -82,6 +89,27 @@ class FullSlamEngine:
             )
         )
 
+    def _ensure_capacity(self):
+        """Grow the graph (2x) BEFORE an add would saturate — the host-side
+        re-shard event mirroring blockmap's contract, so long runs never
+        silently stop building the graph (keyframes past the old capacity
+        would previously be dropped and the regenerated map frozen)."""
+        g = self.cfg.graph
+        # worst case per keyframe: 1 odometric edge + max_candidates loop
+        # edges + densify passes of max_candidates each
+        edge_budget = 1 + g.max_candidates * (1 + self.cfg.densify_rounds)
+        need_kf = int(self.graph.n_kf) + 1 > g.max_keyframes
+        need_edges = int(self.graph.n_edges) + edge_budget > g.max_edges
+        if not (need_kf or need_edges):
+            return
+        new_cfg, self.graph = pg.grow(
+            g, self.graph,
+            max_keyframes=2 * g.max_keyframes if need_kf else g.max_keyframes,
+            max_edges=2 * g.max_edges if need_edges else g.max_edges,
+        )
+        self.cfg = dataclasses.replace(self.cfg, graph=new_cfg)
+        self._rejit()
+
     def handle_scan(self, scan: LaserScan, odom_delta) -> jax.Array:
         self.state = self._track(self.state, scan, odom_delta)
         pose = self.state.pose
@@ -90,6 +118,7 @@ class FullSlamEngine:
             import numpy as np
 
             self._last_kf_pose_host = np.asarray(pose)
+            self._ensure_capacity()
             self.graph = self._add_kf(self.graph, pose, scan)
             self.graph, n_loops = self._detect(self.graph, scan, pose)
             self.pending_loops += int(n_loops)

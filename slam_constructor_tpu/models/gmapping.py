@@ -58,6 +58,25 @@ class GMappingConfig:
     resample_threshold: float = 0.5
     #: sharpness of the weight update: logw += gamma * log(prob)
     weight_gamma: float = 8.0
+    #: proposal distribution:
+    #: 'odom'     — sample motion noise around the odometry prior, refine by
+    #:              scan matching, weight by the matched probability (the
+    #:              round-1 behavior; a plain bootstrap-ish RBPF).
+    #: 'improved' — Grisetti et al.'s GMapping proposal: match from the
+    #:              odometry prior, probe the score surface at
+    #:              ``proposal_samples`` jittered points around the mode,
+    #:              fit a Gaussian (mean + diagonal covariance) to
+    #:              score^gamma x motion-prior, sample the new pose from it,
+    #:              and weight by the MARGINAL likelihood (the tau-sum), not
+    #:              the mode height — the part that makes 30 particles beat
+    #:              one hypothesis under odometry noise.
+    proposal: str = "odom"
+    #: K probe points for the improved proposal's Gaussian fit
+    proposal_samples: int = 16
+    #: probe jitter around the matched mode (m / rad) — order of the map
+    #: cell size, the scale the score surface is informative at
+    proposal_radius_xy: float = 0.06
+    proposal_radius_theta: float = 0.03
     #: 'dense' (per-particle dense maps, resample gathers map data) or
     #: 'cow' (shared block pool + per-particle tables, resample copies
     #: int32 tables only — the reference's expensive map deep-copy gone)
@@ -70,6 +89,12 @@ class GMappingConfig:
     #: within beam reach of the prior — a window covering the scan
     #: footprint is exact (scoring.window_view) at a fraction of the cost.
     match_window: int = 0
+    #: dense-path insertion window (cells, 0 = whole map): rasterize + cell
+    #: fold run on a dynamic slice around the particle pose instead of the
+    #: full plane. Exact (bitwise vs full-plane insert) when the window
+    #: covers the scan's usable reach: window/2 >= (max_range +
+    #: hole_width)/scale + 2 — the GMapping maxUrange discipline.
+    insert_window: int = 0
 
 
 @struct.dataclass
@@ -121,6 +146,49 @@ def init_state(cfg: GMappingConfig, key: Array | None = None) -> GMappingState:
     )
 
 
+def _improved_proposal(view, scan, matched, prior_p, sigma, key, cfg):
+    """Grisetti-style improved proposal for one particle.
+
+    Probes the scan-likelihood surface at ``proposal_samples`` jittered
+    points around the matched mode, weights each by score^gamma x the
+    motion-model prior (tau), fits mean + diagonal covariance, samples the
+    new pose from that Gaussian, and returns the MARGINAL log-likelihood
+    (log mean tau) as the particle's weight increment — the reference
+    GMapping weighting, replacing mode-height weighting (SURVEY.md §3.4).
+    """
+    from ..ops import scoring as scoringlib
+    from ..ops.geometry import wrap_angle
+
+    j = cfg.proposal_samples
+    kj, ks = jax.random.split(key)
+    rad = jnp.array(
+        [cfg.proposal_radius_xy, cfg.proposal_radius_xy, cfg.proposal_radius_theta]
+    )
+    deltas = jax.random.normal(kj, (j, 3)) * rad
+    cand = jnp.concatenate(
+        [matched.pose[None, :2] + deltas[:, :2],
+         wrap_angle(matched.pose[None, 2:] + deltas[:, 2:])], axis=-1
+    )
+    probs = scoringlib.score_poses(view, scan, cand, cfg.matcher_cfg.scoring)
+    d = cand - prior_p[None, :]
+    d = d.at[:, 2].set(wrap_angle(d[:, 2]))
+    log_motion = -0.5 * ((d / jnp.maximum(sigma, 1e-4)) ** 2).sum(-1)
+    logtau = cfg.weight_gamma * jnp.log(probs + 1e-6) + log_motion
+    lse = jax.scipy.special.logsumexp(logtau)
+    wj = jnp.exp(logtau - lse)  # [J], sums to 1
+    # moments in mode-relative coordinates (angle deltas stay small)
+    dm = cand - matched.pose[None, :]
+    dm = dm.at[:, 2].set(wrap_angle(dm[:, 2]))
+    mu = (wj[:, None] * dm).sum(0)
+    var = (wj[:, None] * (dm - mu[None, :]) ** 2).sum(0)
+    # floor: quarter of the probe radius, so a peaked surface still keeps
+    # enough diversity to survive resampling
+    var = var + (0.25 * rad) ** 2
+    pose = matched.pose + mu + jax.random.normal(ks, (3,)) * jnp.sqrt(var)
+    pose = pose.at[2].set(wrap_angle(pose[2]))
+    return pose, lse - jnp.log(float(j))
+
+
 def gmapping_step(
     cfg: GMappingConfig, state: GMappingState, scan: LaserScan, odom_delta: Array
 ) -> GMappingState:
@@ -129,12 +197,17 @@ def gmapping_step(
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
 
-    # 1. proposal: odometry + per-particle motion-model noise
+    # 1. proposal: odometry + per-particle motion-model noise. With the
+    # improved proposal the pre-match jitter is skipped — diversity comes
+    # from sampling the fitted Gaussian around each particle's own mode.
     base = jnp.array([cfg.noise_xy, cfg.noise_xy, cfg.noise_theta])
     alpha = jnp.array([cfg.alpha_xy, cfg.alpha_xy, cfg.alpha_theta])
     sigma = base + alpha * jnp.abs(odom_delta)
-    noise = jax.random.normal(k_noise, (p, 3)) * sigma
-    priors = compose(state.poses, odom_delta[None, :] + noise)
+    if cfg.proposal == "improved":
+        priors = compose(state.poses, jnp.broadcast_to(odom_delta, (p, 3)))
+    else:
+        noise = jax.random.normal(k_noise, (p, 3)) * sigma
+        priors = compose(state.poses, odom_delta[None, :] + noise)
 
     keys = jax.random.split(k_match, p)
 
@@ -149,14 +222,19 @@ def gmapping_step(
                 state.gm, cfg.cell_model, p_idx, prior_p[:2], wt, wt
             )
             view = scoring.MapView.of(win, cfg.cell_model)
+            if cfg.proposal == "improved":
+                k_m, k_prop = jax.random.split(key_p)
+                res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
+                return _improved_proposal(
+                    view, scan, res, prior_p, sigma, k_prop, cfg
+                )
             res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
-            return res.pose, res.prob
+            return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
-        poses, probs = jax.vmap(match_one)(jnp.arange(p), priors, keys)
+        poses, incr = jax.vmap(match_one)(jnp.arange(p), priors, keys)
 
         # 3. weight update
-        logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
-        logw = resample.normalize_log_weights(logw)
+        logw = resample.normalize_log_weights(state.log_weights + incr)
 
         # 4. insert: rasterize per particle, CoW-prepare touched tiles,
         # one shared-pool scatter
@@ -194,25 +272,53 @@ def gmapping_step(
         view = scoring.MapView.of(gm_p, cfg.cell_model)
         if cfg.match_window:
             view = scoring.window_view(view, prior_p[:2], cfg.match_window)
+        if cfg.proposal == "improved":
+            k_m, k_prop = jax.random.split(key_p)
+            res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
+            return _improved_proposal(view, scan, res, prior_p, sigma, k_prop, cfg)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
-        return res.pose, res.prob
+        return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
-    poses, probs = jax.vmap(match_one)(state.gm, priors, keys)
+    poses, incr = jax.vmap(match_one)(state.gm, priors, keys)
 
-    # 3. weight update: w *= p(scan | map, pose)^gamma
-    logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
-    logw = resample.normalize_log_weights(logw)
+    # 3. weight update: w *= marginal (improved) or mode^gamma (odom)
+    logw = resample.normalize_log_weights(state.log_weights + incr)
 
     # 4. insert scan into every particle map
     def insert_one(gm_p, pose_p):
-        return raycast.insert_scan(gm_p, cfg.cell_model, pose_p, scan, cfg.beam)
+        if not cfg.insert_window:
+            return raycast.insert_scan(gm_p, cfg.cell_model, pose_p, scan, cfg.beam)
+        # windowed insert: rasterize + fold on a grid-aligned dynamic slice
+        # around the pose (cells outside it are untouched by construction
+        # once endpoint evidence respects max_range)
+        h, w, c = gm_p.cells.shape
+        wi = min(cfg.insert_window, h, w)
+        rel = (pose_p[:2] - gm_p.origin) / gm_p.scale
+        col = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32) - wi // 2, 0, w - wi)
+        row = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32) - wi // 2, 0, h - wi)
+        sub = jax.lax.dynamic_slice(gm_p.cells, (row, col, 0), (wi, wi, c))
+        sub_gm = gridlib.GridMap(
+            cells=sub,
+            origin=gm_p.origin + jnp.stack([col, row]).astype(jnp.float32) * gm_p.scale,
+            scale=gm_p.scale,
+        )
+        sub_gm = raycast.insert_scan(sub_gm, cfg.cell_model, pose_p, scan, cfg.beam)
+        return gm_p.replace(
+            cells=jax.lax.dynamic_update_slice(gm_p.cells, sub_gm.cells, (row, col, 0))
+        )
 
     gm = jax.vmap(insert_one)(state.gm, poses)
 
-    # 5. conditional systematic resampling (branch-free); map copy is a
-    # gather along the particle axis
-    idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
-    gm = jax.tree.map(lambda a: a[idx], gm)
+    # 5. conditional systematic resampling; the (P, H, W, C) map gather is
+    # the expensive part, so it runs under a real branch (lax.cond executes
+    # one side) and is skipped entirely while Neff stays healthy
+    idx, logw, did = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
+    gm = jax.lax.cond(
+        did,
+        lambda g: jax.tree.map(lambda a: a[idx], g),
+        lambda g: g,
+        gm,
+    )
     poses = poses[idx]
 
     return (

@@ -94,6 +94,11 @@ class PoseGraphState:
     n_edges: Array  # i32[]
     #: index of the last added keyframe (tracking chain tail)
     last_kf: Array  # i32[]
+    #: sticky capacity flags (the blockmap overflow contract): set when an
+    #: add_keyframe / edge append was DROPPED at capacity. Hosts poll these
+    #: and grow() — silent saturation must never corrupt the graph.
+    kf_overflow: Array = None  # bool[]
+    edge_overflow: Array = None  # bool[]
 
 
 def init_state(cfg: PoseGraphConfig, n_beams: int) -> PoseGraphState:
@@ -114,7 +119,46 @@ def init_state(cfg: PoseGraphConfig, n_beams: int) -> PoseGraphState:
         edge_is_loop=jnp.zeros((e,), bool),
         n_edges=jnp.int32(0),
         last_kf=jnp.int32(-1),
+        kf_overflow=jnp.array(False),
+        edge_overflow=jnp.array(False),
     )
+
+
+def grow(
+    cfg: PoseGraphConfig,
+    st: PoseGraphState,
+    max_keyframes: int | None = None,
+    max_edges: int | None = None,
+):
+    """Host-side capacity growth event (the blockmap re-shard analogue):
+    pad the keyframe/edge arrays to the new capacities, clear the overflow
+    flags, and return ``(new_cfg, new_state)``. Capacities default to 2x.
+    Jitted functions keyed on the old config retrace once afterwards —
+    rare by design (capacity doubles), exactly like dense-map growth."""
+    new_k = max_keyframes if max_keyframes is not None else 2 * cfg.max_keyframes
+    new_e = max_edges if max_edges is not None else 2 * cfg.max_edges
+    assert new_k >= cfg.max_keyframes and new_e >= cfg.max_edges
+
+    def pad0(a, n):
+        return jnp.concatenate(
+            [a, jnp.zeros((n - a.shape[0], *a.shape[1:]), a.dtype)], axis=0
+        )
+
+    new_st = st.replace(
+        kf_poses=pad0(st.kf_poses, new_k),
+        kf_scans=jax.tree.map(lambda a: pad0(a, new_k), st.kf_scans),
+        edge_i=pad0(st.edge_i, new_e),
+        edge_j=pad0(st.edge_j, new_e),
+        edge_delta=pad0(st.edge_delta, new_e),
+        edge_info=pad0(st.edge_info, new_e),
+        edge_is_loop=pad0(st.edge_is_loop, new_e),
+        kf_overflow=jnp.array(False),
+        edge_overflow=jnp.array(False),
+    )
+    new_cfg = dataclasses.replace(
+        cfg, max_keyframes=new_k, max_edges=new_e
+    )
+    return new_cfg, new_st
 
 
 def should_add_keyframe(cfg: PoseGraphConfig, st: PoseGraphState, pose: Array) -> Array:
@@ -135,6 +179,7 @@ def _append_edge(st: PoseGraphState, i, j, delta, info, is_loop=False) -> PoseGr
         ),
         edge_is_loop=st.edge_is_loop.at[e].set(is_loop, mode="drop"),
         n_edges=jnp.minimum(e + 1, st.edge_i.shape[0]),
+        edge_overflow=st.edge_overflow | (e >= st.edge_i.shape[0]),
     )
 
 
@@ -142,16 +187,20 @@ def add_keyframe(
     cfg: PoseGraphConfig, st: PoseGraphState, pose: Array, scan: LaserScan
 ) -> PoseGraphState:
     """Unconditionally append a keyframe + odometric chain edge (callers gate
-    with should_add_keyframe). Fixed shapes; silently saturates at capacity."""
-    k = jnp.minimum(st.n_kf, cfg.max_keyframes - 1)
+    with should_add_keyframe). Fixed shapes. At capacity the keyframe is
+    DROPPED (never overwritten onto slot K-1, which would corrupt the graph)
+    and ``kf_overflow`` latches so the host can :func:`grow` and re-add."""
+    k = st.n_kf  # out of range when full -> mode='drop' skips the writes
+    full = st.n_kf >= cfg.max_keyframes
     new = st.replace(
-        kf_poses=st.kf_poses.at[k].set(pose),
+        kf_poses=st.kf_poses.at[k].set(pose, mode="drop"),
         kf_scans=jax.tree.map(
-            lambda buf, s: buf.at[k].set(s), st.kf_scans, scan
+            lambda buf, s: buf.at[k].set(s, mode="drop"), st.kf_scans, scan
         ),
         n_kf=jnp.minimum(st.n_kf + 1, cfg.max_keyframes),
+        kf_overflow=st.kf_overflow | full,
     )
-    has_prev = st.last_kf >= 0
+    has_prev = (st.last_kf >= 0) & ~full
     prev = jnp.maximum(st.last_kf, 0)
     delta = between(st.kf_poses[prev], pose)
     new = jax.lax.cond(
@@ -160,7 +209,7 @@ def add_keyframe(
         lambda s: s,
         new,
     )
-    return new.replace(last_kf=k)
+    return new.replace(last_kf=jnp.where(full, st.last_kf, k))
 
 
 # --- loop closure -----------------------------------------------------------

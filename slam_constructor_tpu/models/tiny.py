@@ -23,14 +23,9 @@ def tiny_config(
     sigma_xy: float = 0.08,
     sigma_theta: float = 0.05,
     scoring_cfg: scoring.ScoringConfig | None = None,
-    mc_beam_window: int | str = 0,
 ) -> EngineConfig:
     if scoring_cfg is None:
         scoring_cfg = scoring.ScoringConfig(reducer="overlap", window=1, stride=1)
-    if mc_beam_window == "auto":
-        mc_beam_window = matchers.auto_beam_window(
-            sigma_xy, sigma_theta, 15.0, map_scale
-        )
     if cell == "bayes_base":
         model = cells.BayesBaseCell(quality=quality)
     else:
@@ -44,7 +39,6 @@ def tiny_config(
             batch=mc_batch,
             rounds=mc_rounds,
             scoring=scoring_cfg,
-            beam_window=int(mc_beam_window),
         ),
         beam=raycast.BeamConfig(
             occupancy_estimator="const", hole_width=hole_width, wall_blur=True,

@@ -23,12 +23,9 @@ def viny_config(
     min_insert_prob: float = 0.0,
     use_angle_histogram: bool = True,
     scoring_cfg: scoring.ScoringConfig | None = None,
-    mc_beam_window: int | str = 0,
 ) -> EngineConfig:
     if scoring_cfg is None:
         scoring_cfg = scoring.ScoringConfig(reducer="overlap", window=1)
-    if mc_beam_window == "auto":
-        mc_beam_window = matchers.auto_beam_window(0.08, 0.05, 15.0, map_scale)
     return EngineConfig(
         cell_model=cells.TBMCell(quality=quality, conflict_decay=conflict_decay),
         matcher="monte_carlo",
@@ -38,7 +35,6 @@ def viny_config(
             batch=mc_batch,
             rounds=mc_rounds,
             scoring=scoring_cfg,
-            beam_window=int(mc_beam_window),
         ),
         # const endpoint evidence + symmetric wall blur tracks best with
         # TBM cells (the area estimator's fractional weights under-evidence

@@ -88,9 +88,22 @@ class TBMCell:
     conjunctive (Dempster) rule; conflict mass absorbs dynamic objects.
 
     An observation with estimated occupancy ``o`` and sensor quality ``q``
-    induces the simple mass function ``(q·o, q·(1-o), 1-q, 0)``. Fractional
-    observation weight w is applied as ceil(w) conjunctive rounds with the
-    last round's quality scaled by the fractional part (smooth in w).
+    induces the simple mass function ``(q·o, q·(1-o), 1-q, 0)``. Observation
+    weight w applies ``floor(w)`` full conjunctive rounds IN CLOSED FORM
+    plus one partial round at quality ``q·frac(w)`` (smooth in w): one
+    round is linear and triangular in the state —
+
+        mu' = mu·uu;  mo' = mo·(oo+uu) + mu·oo;  me' = me·(ee+uu) + mu·ee
+
+    so k identical rounds solve to the power form
+
+        mu_k = mu·uu^k
+        mo_k = mo·(oo+uu)^k + mu·((oo+uu)^k − uu^k)
+        me_k = me·(ee+uu)^k + mu·((ee+uu)^k − uu^k)
+        mx_k = total − mo_k − me_k − mu_k   (total mass is conserved)
+
+    exact for ANY w — near-sensor cells crossed by many beams per scan
+    (w ≫ 1) lose no evidence (round 1 capped the loop at 4 rounds).
     ``conflict_decay`` moves a fraction of conflict mass back to unknown
     after each update (vinySLAM's dynamic-object forgetting).
     Occupancy readout is the pignistic transform with conflict split evenly.
@@ -98,7 +111,6 @@ class TBMCell:
 
     quality: float = 0.4
     conflict_decay: float = 0.1
-    max_rounds: int = 4
 
     n_channels: int = dataclasses.field(default=4, init=False)
 
@@ -107,20 +119,37 @@ class TBMCell:
 
     def update(self, belief: Array, n_prev: Array, w: Array, s: Array) -> Array:
         o = _mean_obs(w, s)
-        m = belief  # [..., 4] = (O, E, U, X)
+        q = self.quality
+        k = jnp.floor(w)
+        frac = w - k
 
-        def round_i(i, m):
-            qi = self.quality * jnp.clip(w - i, 0.0, 1.0)
-            oo, ee, uu = qi * o, qi * (1.0 - o), 1.0 - qi
-            mo, me, mu, mx = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
-            # unnormalized conjunctive combination on {∅, O, E, Θ}
-            no = mo * oo + mo * uu + mu * oo
-            ne = me * ee + me * uu + mu * ee
-            nu = mu * uu
-            nx = mx * (oo + ee + uu) + mo * ee + me * oo
-            return jnp.stack([no, ne, nu, nx], axis=-1)
+        # closed form for k = floor(w) full rounds
+        oo, ee, uu = q * o, q * (1.0 - o), 1.0 - q
 
-        m = jax.lax.fori_loop(0, self.max_rounds, round_i, m)
+        def powk(base):
+            # base^k for traced k >= 0 and base in [0, 1]; exp(0·log(eps))=1
+            # keeps the k=0 identity even when base == 0 (q == 1)
+            return jnp.exp(k * jnp.log(jnp.maximum(base, _EPS)))
+
+        mo, me, mu, mx = belief[..., 0], belief[..., 1], belief[..., 2], belief[..., 3]
+        total = mo + me + mu + mx
+        pu = powk(uu)
+        po = powk(oo + uu)
+        pe = powk(ee + uu)
+        mo = mo * po + mu * (po - pu)
+        me = me * pe + mu * (pe - pu)
+        mu = mu * pu
+        mx = jnp.maximum(total - mo - me - mu, 0.0)
+
+        # one partial round at quality q·frac (identity when frac == 0)
+        qi = q * frac
+        oo, ee, uu = qi * o, qi * (1.0 - o), 1.0 - qi
+        no = mo * (oo + uu) + mu * oo
+        ne = me * (ee + uu) + mu * ee
+        nu = mu * uu
+        nx = mx * (oo + ee + uu) + mo * ee + me * oo
+        m = jnp.stack([no, ne, nu, nx], axis=-1)
+
         # conflict forgetting
         mo, me, mu, mx = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
         mu = mu + self.conflict_decay * mx * (w > 0)

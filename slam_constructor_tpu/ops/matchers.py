@@ -53,26 +53,11 @@ class MonteCarloConfig:
     #: rounds without improvement before sigma is halved
     bad_rounds_before_anneal: int = 2
     scoring: scoring.ScoringConfig = scoring.ScoringConfig()
-    #: per-beam scoring window side in cells (0 = score the full map).
-    #: When set, proposals are truncated at 3 sigma and every round gathers
-    #: a BxB window around each beam endpoint of the current best pose, so
-    #: candidate scoring shrinks from [K*R, H] x [H, W] to [R]-batched
-    #: [K, B] x [B, B] MXU work. Exact (same scores as the full map) when
-    #: B >= auto_beam_window(cfg, max_range, scale); smaller windows read
-    #: spilled endpoints as unknown_prob.
-    beam_window: int = 0
-
-
-def auto_beam_window(
-    sigma_xy: float, sigma_theta: float, max_range: float, scale: float
-) -> int:
-    """Smallest per-beam window (cells) that keeps truncated-3-sigma MC
-    proposals exact: endpoints move at most 3*(sigma_xy + sigma_theta *
-    range) from the round center; +2 covers the bilinear/overlap support."""
-    import math
-
-    reach = 3.0 * (sigma_xy + sigma_theta * max_range)
-    return 2 * (int(math.ceil(reach / scale)) + 2)
+    # (a per-beam "beam_window" scoring knob existed in round 1 and was
+    # removed: its R-way window gather was a measured on-chip regression —
+    # see the post-mortem note in ops/scoring.py and DESIGN.md. Use
+    # scoring.window_view / the engines' match_window for local-matcher
+    # FLOP reduction instead.)
 
 
 def monte_carlo_match(
@@ -87,27 +72,12 @@ def monte_carlo_match(
 
     def round_fn(carry, key_r):
         best_pose, best_prob, sigma, bad = carry
-        if cfg.beam_window:
-            # truncated proposals keep every endpoint inside its beam window
-            noise = (
-                jax.random.truncated_normal(key_r, -3.0, 3.0, (cfg.batch, 3))
-                * sigma
-            )
-        else:
-            noise = jax.random.normal(key_r, (cfg.batch, 3)) * sigma
+        noise = jax.random.normal(key_r, (cfg.batch, 3)) * sigma
         cand = jnp.concatenate(
             [best_pose[None, :2] + noise[:, :2],
              wrap_angle(best_pose[None, 2:] + noise[:, 2:])], axis=-1
         )
-        if cfg.beam_window:
-            wins, corners = scoring.beam_windows(
-                view, scan, best_pose, cfg.beam_window, cfg.scoring
-            )
-            probs = scoring.score_poses_windowed(
-                view, scan, cand, wins, corners, cfg.scoring, point_weights
-            )
-        else:
-            probs = scoring.score_poses(view, scan, cand, cfg.scoring, point_weights)
+        probs = scoring.score_poses(view, scan, cand, cfg.scoring, point_weights)
         i = jnp.argmax(probs)
         better = probs[i] > best_prob
         best_pose = jnp.where(better, cand[i], best_pose)

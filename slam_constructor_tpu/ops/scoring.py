@@ -184,46 +184,17 @@ def _sample_matmul_chunked(v: Array, rel: Array, cfg: "ScoringConfig") -> Array:
     return out.reshape(-1)[:n]
 
 
-# --- per-beam windowed scoring ----------------------------------------------
-#
-# Local matchers (Monte-Carlo, hill-climbing) evaluate candidate batches
-# whose per-beam endpoints all cluster within (|dt| + |dtheta| * range) of a
-# center pose's endpoints. Sampling each beam against a small BxB window
-# gathered around its center endpoint replaces the [N, H] x [H, W] full-map
-# selection matmul with an [R]-batched [K, B] x [B, B] one — (H*W)/(B*B)
-# times less MXU work. Cells outside a beam's window read as unknown_prob,
-# so the result is EXACT (fp-equal to the full view) whenever every
-# candidate endpoint stays inside its window — guaranteed by truncated
-# proposals + the window bound in matchers.auto_beam_window.
-
-
-def beam_windows(
-    view: MapView,
-    scan: scanlib.LaserScan,
-    center_pose: Array,
-    size: int,
-    cfg: "ScoringConfig",
-) -> tuple[Array, Array]:
-    """Gather a ``size x size`` occupancy window around each beam endpoint
-    of ``center_pose`` (unknown cells pre-filled with ``unknown_prob``).
-
-    Returns (wins f32[R, B, B], corner_rc i32[R, 2]); windows are clamped
-    inside the map so corners stay valid near edges.
-    """
-    h, w = view.occ.shape
-    b = min(size, h, w)
-    if cfg.stride > 1:
-        scan = _strided_scan(scan, cfg.stride)
-    pts = scanlib.scan_points(scan)
-    world = apply_pose(center_pose[None, :], pts)  # [R, 2]
-    rel = (world - view.origin) / view.scale
-    col0 = jnp.clip(jnp.floor(rel[:, 0]).astype(jnp.int32) - b // 2, 0, w - b)
-    row0 = jnp.clip(jnp.floor(rel[:, 1]).astype(jnp.int32) - b // 2, 0, h - b)
-    v = jnp.where(view.known, view.occ, cfg.unknown_prob)
-    wins = jax.vmap(
-        lambda r0, c0: jax.lax.dynamic_slice(v, (r0, c0), (b, b))
-    )(row0, col0)
-    return wins, jnp.stack([row0, col0], axis=-1)
+# NOTE (round 2): a per-beam windowed scoring path ("beam windows": gather a
+# BxB window around every beam endpoint once per matcher round, then score
+# candidates against the stack with [R]-batched small matmuls) was built in
+# round 1 as the local-matcher FLOP-reduction story and DELETED here. On the
+# real chip the R-way vmap(dynamic_slice) window gather serialized and made
+# the path a measured 5.6x (tiny) to 130x (gmapping) END-TO-END REGRESSION
+# (TPU_BENCH_VARIANTS.jsonl, *_bw tags). The surviving FLOP reduction is
+# :func:`window_view` — ONE robot-centered dynamic slice per match, which
+# keeps the [N, H] x [H, W] one-hot sampling on the MXU and shrinks H, W to
+# the window — measured 2x per-step on the RBPF workload with no gather in
+# sight. See DESIGN.md "Beam windows post-mortem".
 
 
 def _strided_scan(scan: scanlib.LaserScan, stride: int) -> scanlib.LaserScan:
@@ -232,72 +203,6 @@ def _strided_scan(scan: scanlib.LaserScan, stride: int) -> scanlib.LaserScan:
         bearings=scan.bearings[::stride],
         valid=scan.valid[::stride],
     )
-
-
-def _axis_weights_local(pos: Array, n: int, cfg: "ScoringConfig"):
-    """Per-(K, R) separable axis weights [K, R, B] + their mass total."""
-    if cfg.reducer == "obstacle":
-        i = jnp.floor(pos).astype(jnp.int32)
-        iota = jnp.arange(n)
-        return (i[..., None] == iota).astype(jnp.float32), 1.0
-    if cfg.reducer == "mean":
-        i = jnp.floor(pos).astype(jnp.int32)
-        d = jnp.arange(n) - i[..., None]
-        r = cfg.window
-        return ((d >= -r) & (d <= r)).astype(jnp.float32), float(2 * r + 1)
-    if cfg.reducer == "overlap":
-        iota = jnp.arange(n, dtype=jnp.float32)
-        e = cfg.overlap_extent
-        lo = jnp.maximum(iota, pos[..., None] - e / 2.0)
-        hi = jnp.minimum(iota + 1.0, pos[..., None] + e / 2.0)
-        return jnp.clip(hi - lo, 0.0), e
-    raise ValueError(f"no windowed path for reducer {cfg.reducer!r}")
-
-
-def score_poses_windowed(
-    view: MapView,
-    scan: scanlib.LaserScan,
-    poses: Array,
-    wins: Array,
-    corner_rc: Array,
-    cfg: ScoringConfig = ScoringConfig(),
-    point_weights: Array | None = None,
-) -> Array:
-    """score_poses against per-beam windows from :func:`beam_windows`.
-
-    Exact (same weighted mean as the full view) when every candidate's
-    endpoints land inside their beam windows; spilled mass reads
-    ``unknown_prob``.
-    """
-    if cfg.stride > 1:
-        scan = _strided_scan(scan, cfg.stride)
-        if point_weights is not None:
-            point_weights = point_weights[:: cfg.stride]
-        cfg = dataclasses.replace(cfg, stride=1)
-    b = wins.shape[-1]
-    pts = scanlib.scan_points(scan)
-    world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
-    rel = (world - view.origin) / view.scale
-    ly = rel[..., 1] - corner_rc[None, :, 0].astype(jnp.float32)
-    lx = rel[..., 0] - corner_rc[None, :, 1].astype(jnp.float32)
-    a, ta = _axis_weights_local(ly, b, cfg)  # [K, R, B]
-    bb, tb = _axis_weights_local(lx, b, cfg)
-    total = ta * tb
-    v = wins
-    if cfg.dtype == "bfloat16":
-        a = a.astype(jnp.bfloat16)
-        v = v.astype(jnp.bfloat16)
-    # [R]-batched row selection: [R, K, B] x [R, B, B] -> [R, K, B]
-    m = jax.lax.dot_general(
-        a.transpose(1, 0, 2),
-        v,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).transpose(1, 0, 2)  # [K, R, B]
-    ssum = (m * bb).sum(-1)
-    coverage = a.sum(-1).astype(jnp.float32) * bb.sum(-1)
-    point_p = (ssum + (total - coverage) * cfg.unknown_prob) / total
-    return _weighted_mean(point_p, scan, cfg, point_weights)
 
 
 def score_poses(

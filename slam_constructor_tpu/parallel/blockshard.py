@@ -43,7 +43,12 @@ from ..ops import raycast
 from ..ops import scan as scanlib
 from ..ops.geometry import apply_pose
 from ..ops.scoring import ScoringConfig, _window_offsets
-from .halo import _exchange_rows, _reduce_point_probs
+from .halo import (
+    _exchange_rows,
+    _ext_point_probs_matmul,
+    _reduce_point_probs,
+    _use_matmul,
+)
 
 Array = jax.Array
 
@@ -229,13 +234,18 @@ def score_poses(
         row_own = jnp.clip(row, 0, h - 1)
         own = (row_own >= row0) & (row_own < row0 + h_local)
 
-        wrow = row[..., None] + offs[None, None, :, 0]
-        wcol = col[..., None] + offs[None, None, :, 1]
-        in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
-        lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
-        lcol = jnp.clip(wcol, 0, w - 1)
-        vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
-        point_p = _reduce_point_probs(vals, rel, cfg)
+        if _use_matmul(cfg):
+            # MXU one-hot sampling against the halo-extended band (no
+            # vector gather on the hot path — CLAUDE.md discipline)
+            point_p = _ext_point_probs_matmul(ext, rel, row0, halo, h, cfg)
+        else:
+            wrow = row[..., None] + offs[None, None, :, 0]
+            wcol = col[..., None] + offs[None, None, :, 1]
+            in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
+            lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
+            lcol = jnp.clip(wcol, 0, w - 1)
+            vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
+            point_p = _reduce_point_probs(vals, rel, cfg)
 
         contrib = jnp.where(own, point_p * mask_[None, :], 0.0)
         num = jax.lax.psum(contrib.sum(-1), axis)

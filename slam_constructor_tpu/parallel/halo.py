@@ -22,9 +22,47 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import scan as scanlib
 from ..ops.geometry import apply_pose
-from ..ops.scoring import MapView, ScoringConfig, _window_offsets
+from ..ops.scoring import (
+    MapView,
+    ScoringConfig,
+    _sample_matmul_chunked,
+    _window_offsets,
+)
 
 Array = jax.Array
+
+
+def _use_matmul(cfg: ScoringConfig) -> bool:
+    return cfg.reducer in ("obstacle", "mean", "overlap") and (
+        cfg.impl == "matmul"
+        or (cfg.impl == "auto" and jax.default_backend() == "tpu")
+    )
+
+
+def _ext_point_probs_matmul(
+    ext: Array, rel: Array, row0, halo: int, h: int, cfg: ScoringConfig
+) -> Array:
+    """Per-point probabilities [K, R] against a halo-extended local block —
+    the hot-path MXU discipline (CLAUDE.md) inside shard_map: the same
+    separable one-hot / box / overlap sampling matmuls as the unsharded
+    scorer, no vector gather.
+
+    ``ext`` rows map to global rows ``row0 - halo + i``; wrap-around rows a
+    ring ppermute delivers to edge shards fall outside the global map and
+    are overwritten with ``unknown_prob`` (the gather path masks them via
+    ``in_map``). Weight mass outside the block is backfilled with
+    ``unknown_prob`` by the sampler's coverage term, which matches the
+    unsharded matmul path's out-of-map semantics exactly — valid for owned
+    points whose window rows lie within the halo (the caller's ownership
+    rule guarantees this for window radius <= halo)."""
+    hl_ext = ext.shape[0]
+    grow = row0 - halo + jnp.arange(hl_ext)
+    ext = jnp.where(((grow >= 0) & (grow < h))[:, None], ext, cfg.unknown_prob)
+    rel_local = jnp.stack(
+        [rel[..., 0], rel[..., 1] - (row0 - halo).astype(jnp.float32)], axis=-1
+    )
+    k, r = rel.shape[:2]
+    return _sample_matmul_chunked(ext, rel_local.reshape(k * r, 2), cfg).reshape(k, r)
 
 
 def _exchange_rows(block: Array, halo: int, axis: str) -> Array:
@@ -109,13 +147,16 @@ def sharded_score_poses(
         row_own = jnp.clip(row, 0, h - 1)
         own = (row_own >= row0) & (row_own < row0 + h_local)
 
-        wrow = row[..., None] + offs[None, None, :, 0]
-        wcol = col[..., None] + offs[None, None, :, 1]
-        in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
-        lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
-        lcol = jnp.clip(wcol, 0, w - 1)
-        vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
-        point_p = _reduce_point_probs(vals, rel, cfg)
+        if _use_matmul(cfg):
+            point_p = _ext_point_probs_matmul(ext, rel, row0, halo, h, cfg)
+        else:
+            wrow = row[..., None] + offs[None, None, :, 0]
+            wcol = col[..., None] + offs[None, None, :, 1]
+            in_map = (wrow >= 0) & (wrow < h) & (wcol >= 0) & (wcol < w)
+            lrow = jnp.clip(wrow - row0 + halo, 0, h_local + 2 * halo - 1)
+            lcol = jnp.clip(wcol, 0, w - 1)
+            vals = jnp.where(in_map, ext[lrow, lcol], cfg.unknown_prob)
+            point_p = _reduce_point_probs(vals, rel, cfg)
 
         contrib = jnp.where(own, point_p * mask_[None, :], 0.0)
         num = jax.lax.psum(contrib.sum(-1), axis)

@@ -74,6 +74,10 @@ class CarmenLog:
     start_angle: float = -math.pi / 2
     fov: float = math.pi
     max_range: float = 80.0
+    #: PARAM records (raw strings, e.g. 'laser_front_laser_resolution')
+    params: dict | None = None
+    #: TRUEPOS ground-truth records, f64[N, 4] = (ts, x, y, theta), or None
+    true_poses: np.ndarray | None = None
 
     @property
     def bearings(self) -> np.ndarray:
@@ -81,6 +85,47 @@ class CarmenLog:
         return (self.start_angle + self.fov * np.arange(r) / max(r - 1, 1)).astype(
             np.float32
         )
+
+    def gt_at_scans(self) -> np.ndarray | None:
+        """TRUEPOS ground truth resampled at scan timestamps (nearest
+        record; CARMEN sim logs emit TRUEPOS at its own rate) — f32[T, 3]
+        or None when the log carries no ground truth."""
+        if self.true_poses is None or len(self.true_poses) == 0:
+            return None
+        ts = self.true_poses[:, 0]
+        idx = np.clip(
+            np.searchsorted(ts, self.timestamps), 0, len(ts) - 1
+        )
+        prev = np.maximum(idx - 1, 0)
+        take_prev = np.abs(ts[prev] - self.timestamps) < np.abs(
+            ts[idx] - self.timestamps
+        )
+        idx = np.where(take_prev, prev, idx)
+        return self.true_poses[idx, 1:4].astype(np.float32)
+
+
+def _scan_aux_records(path: str) -> tuple[dict, np.ndarray | None]:
+    """Cheap second pass for the rare non-laser records: PARAM key/values
+    and TRUEPOS ground truth (the laser records are the heavy ones and go
+    through the native parser)."""
+    params: dict = {}
+    true_rows: list = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("PARAM"):
+                t = line.split()
+                if len(t) >= 3:
+                    params[t[1]] = t[2]
+            elif line.startswith("TRUEPOS"):
+                # TRUEPOS true_x true_y true_theta odom_x odom_y odom_theta
+                #   ipc_ts host logger_ts
+                t = line.split()
+                if len(t) >= 8:
+                    true_rows.append(
+                        [float(t[7]), float(t[1]), float(t[2]), float(t[3])]
+                    )
+    tp = np.asarray(true_rows, np.float64) if true_rows else None
+    return params, tp
 
 
 def read_carmen(path: str, prefer_native: bool = True) -> CarmenLog:
@@ -101,14 +146,38 @@ def read_carmen(path: str, prefer_native: bool = True) -> CarmenLog:
                     ts = np.ctypeslib.as_array(lib.slamio_stamps(h), shape=(t,)).copy()
                     meta = (ctypes.c_double * 3)()
                     log = CarmenLog(ranges, odom, ts)
-                    if lib.slamio_meta(h, meta):
+                    has_meta = bool(lib.slamio_meta(h, meta))
+                    if has_meta:
                         log.start_angle, log.fov, log.max_range = (
                             meta[0], meta[1], meta[2],
                         )
+                    log.params, log.true_poses = _scan_aux_records(path)
+                    _apply_params(log, geometry_from_records=has_meta)
                     return log
             finally:
                 lib.slamio_free(h)
     return _read_carmen_py(path)
+
+
+def _apply_params(log: CarmenLog, geometry_from_records: bool) -> None:
+    """Fold PARAM-provided laser config into the log. FLASER records carry
+    no geometry — classic logs declare it via PARAM lines; ROBOTLASER1
+    records embed start_angle/fov/max_range, which win over PARAMs."""
+    p = log.params or {}
+    try:
+        if geometry_from_records:
+            return
+        if "robot_front_laser_max" in p:
+            log.max_range = float(p["robot_front_laser_max"])
+        if "laser_front_laser_resolution" in p:
+            res = math.radians(float(p["laser_front_laser_resolution"]))
+            r = log.ranges.shape[1]
+            fov = res * (r - 1)
+            if 0 < fov <= 2 * math.pi:
+                log.fov = fov
+                log.start_angle = -fov / 2
+    except ValueError:
+        pass
 
 
 def _read_carmen_py(path: str) -> CarmenLog:
@@ -151,6 +220,8 @@ def _read_carmen_py(path: str) -> CarmenLog:
     )
     if meta:
         log.start_angle, log.fov, log.max_range = meta
+    log.params, log.true_poses = _scan_aux_records(path)
+    _apply_params(log, geometry_from_records=meta is not None)
     return log
 
 

@@ -115,3 +115,52 @@ def test_tiled_engine_tracks():
     assert err.max() < 0.25, err.max()
     assert int(e.state.gm.n_alloc) > 0
     assert not bool(e.state.gm.overflowed)
+
+
+def test_engine_quality_parity_dense_vs_tiled(model):
+    """slam_step's ``quality`` must scale the observation on BOTH storages:
+    with identical poses forced (matcher disabled via zero rounds... not
+    available, so compare the insert layer directly): scatter with q*w/q*s
+    == dense apply_observations with q*w_obs/q*s_obs."""
+    import dataclasses
+
+    from slam_constructor_tpu.models import engine as eng
+    from slam_constructor_tpu.models import tiny
+
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=9)
+    bearings = datagen.default_bearings(90)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, datagen.loop_trajectory(6, radius=1.5), bearings,
+        jax.random.PRNGKey(4), odom_noise_xy=0.0, odom_noise_theta=0.0,
+    )
+    base = tiny.tiny_config(map_size=128, mc_batch=8, mc_rounds=2)
+    cfg_d = dataclasses.replace(
+        base, beam=raycast.BeamConfig(occupancy_estimator="const", wall_blur=False)
+    )
+    cfg_t = dataclasses.replace(
+        cfg_d, map_storage="tiled", tile_block=32, tile_capacity=32,
+        window_tiles=4,
+    )
+    q = 0.3
+    st_d = eng.init_state(cfg_d, jax.random.PRNGKey(0))
+    st_t = eng.init_state(cfg_t, jax.random.PRNGKey(0))
+    for t in range(4):
+        s_t = jax.tree.map(lambda a: a[t], scans)
+        st_d = eng.slam_step(cfg_d, st_d, s_t, odom[t], quality=q)
+        st_t = eng.slam_step(cfg_t, st_t, s_t, odom[t], quality=q)
+    # identical PRNG keys + identical initial views => identical poses;
+    # the maps must then agree INCLUDING the quality scaling
+    np.testing.assert_allclose(
+        np.asarray(st_t.pose), np.asarray(st_d.pose), atol=1e-5
+    )
+    dense_occ = np.asarray(grid.occupancy_plane(st_d.gm, cfg_d.cell_model))
+    tiled_occ = np.asarray(blockmap.occupancy_plane(st_t.gm, cfg_t.cell_model))
+    np.testing.assert_allclose(tiled_occ, dense_occ, atol=1e-4)
+    # and the accumulated weights carry the q scale (not the unscaled w)
+    win = blockmap.extract_window(
+        st_t.gm, cfg_t.cell_model, jnp.zeros(2), 4, 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(win.weight), np.asarray(st_d.gm.weight), atol=1e-4
+    )
+    assert float(np.asarray(win.weight).max()) > 0  # something was inserted

@@ -137,3 +137,58 @@ def test_tbm_forgets_dynamic_objects_faster_than_avg():
     assert after["tbm"] < 0.5, after  # cleared
     assert after["avg"] > 0.7, after  # still clinging
     assert after["tbm"] < after["avg"] - 0.2
+
+
+def test_tbm_large_weight_exact_vs_sequential_rounds():
+    """The closed-form w-fold TBM update must equal w sequential conjunctive
+    rounds (+ one decay + renorm) for w far beyond the old 4-round cap —
+    near-sensor cells collect w >> 4 free-space crossings per scan."""
+    model = cells.TBMCell(quality=0.4, conflict_decay=0.1)
+    belief = jnp.array([[0.2, 0.3, 0.4, 0.1]])
+    for w_int, o in [(16, 0.0), (16, 1.0), (7, 0.25), (1, 0.5)]:
+        w = jnp.array([float(w_int)])
+        s = w * o
+
+        # reference: w sequential single conjunctive rounds
+        q = model.quality
+        oo, ee, uu = q * o, q * (1.0 - o), 1.0 - q
+        m = np.asarray(belief)[0]
+        for _ in range(w_int):
+            mo, me, mu, mx = m
+            m = np.array([
+                mo * (oo + uu) + mu * oo,
+                me * (ee + uu) + mu * ee,
+                mu * uu,
+                mx * (oo + ee + uu) + mo * ee + me * oo,
+            ])
+        mo, me, mu, mx = m
+        mu = mu + model.conflict_decay * mx
+        mx = mx * (1.0 - model.conflict_decay)
+        m = np.array([mo, me, mu, mx])
+        m = m / m.sum()
+
+        got = np.asarray(model.update(belief, jnp.zeros(1), w, s))[0]
+        np.testing.assert_allclose(got, m, atol=1e-5, err_msg=f"w={w_int} o={o}")
+
+
+def test_tbm_fractional_weight_partial_round():
+    """w = k + f applies k closed-form rounds plus one round at quality q*f."""
+    model = cells.TBMCell(quality=0.5, conflict_decay=0.0)
+    belief = jnp.array([[0.1, 0.2, 0.6, 0.1]])
+    o = 1.0
+    w = jnp.array([2.7])
+    got = np.asarray(model.update(belief, jnp.zeros(1), w, w * o))[0]
+
+    q = model.quality
+    m = np.asarray(belief)[0]
+    for qi in [q, q, q * 0.7]:
+        oo, ee, uu = qi * o, qi * (1.0 - o), 1.0 - qi
+        mo, me, mu, mx = m
+        m = np.array([
+            mo * (oo + uu) + mu * oo,
+            me * (ee + uu) + mu * ee,
+            mu * uu,
+            mx * (oo + ee + uu) + mo * ee + me * oo,
+        ])
+    m = m / m.sum()
+    np.testing.assert_allclose(got, m, atol=1e-5)

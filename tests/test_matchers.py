@@ -46,20 +46,23 @@ def test_monte_carlo_recovers_pose(setup):
     assert recovered(res, true_pose)
 
 
-def test_monte_carlo_beam_window_recovers_pose(setup):
+def test_monte_carlo_window_view_recovers_pose(setup):
+    """Local matching against a robot-centered window_view (the surviving
+    FLOP-reduction path after the per-beam window deletion — see
+    ops/scoring.py post-mortem note) recovers the pose like the full view
+    when the window covers the scan footprint."""
+    from slam_constructor_tpu.ops import scoring as sclib
+
     view, s, true_pose = setup
-    bw = matchers.auto_beam_window(0.1, 0.03, 15.0, 0.1)
-    assert bw < 80  # a real window, not the degenerate whole-map case
+    win = sclib.window_view(view, true_pose[:2] + DISPLACEMENT[:2], 160)
     cfg = matchers.MonteCarloConfig(
-        sigma_xy=0.1, sigma_theta=0.03, batch=48, rounds=16,
-        scoring=SCORING, beam_window=bw,
+        sigma_xy=0.1, sigma_theta=0.03, batch=48, rounds=16, scoring=SCORING,
     )
     res = matchers.monte_carlo_match(
-        view, s, true_pose + DISPLACEMENT, jax.random.PRNGKey(3), cfg
+        win, s, true_pose + DISPLACEMENT, jax.random.PRNGKey(3), cfg
     )
     assert recovered(res, true_pose)
-    # prob must be a real in-window score, not unknown backfill
-    assert float(res.prob) > 0.55
+    assert float(res.prob) > 0.55  # real in-window evidence, not backfill
 
 
 def test_hill_climbing_recovers_pose(setup):

@@ -141,3 +141,39 @@ def test_gmapping_windowed_matching_tracks():
     traj, _ = e.run(scans, odom)
     err = float(evaluate.ate(traj, gt, align=False))
     assert err < 0.2, f"ATE {err}"
+
+
+def test_gmapping_windowed_insert_matches_full(sequence):
+    """insert_window (rasterize+fold on a pose-centered dynamic slice) must
+    reproduce the full-plane insert when the window covers the usable range
+    (the GMapping maxUrange contract): same steps, same keys => same maps,
+    poses and weights up to fp re-association of the window's cell-center
+    arithmetic."""
+    from slam_constructor_tpu.ops import raycast
+
+    scans, odom, gt = sequence
+    beam = raycast.BeamConfig(max_range=3.0)
+    mk = lambda iw: gmapping.GMappingConfig(
+        n_particles=4, map_height=160, map_width=160, beam=beam,
+        insert_window=iw,
+    )
+    cfg_full, cfg_win = mk(0), mk(96)  # 96/2 cells = 4.8 m > 3 m + margin
+    st_f = gmapping.init_state(cfg_full)
+    st_w = gmapping.init_state(cfg_win)
+    st_f = st_f.replace(poses=jnp.broadcast_to(gt[0], (4, 3)))
+    st_w = st_w.replace(poses=jnp.broadcast_to(gt[0], (4, 3)))
+    step_f = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg_full, s, sc, od))
+    step_w = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg_win, s, sc, od))
+    for t in range(4):
+        s_t = jax.tree.map(lambda a: a[t], scans)
+        st_f, _ = step_f(st_f, s_t, odom[t])
+        st_w, _ = step_w(st_w, s_t, odom[t])
+        np.testing.assert_allclose(
+            np.asarray(st_w.poses), np.asarray(st_f.poses), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_w.gm.cells), np.asarray(st_f.gm.cells), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_w.log_weights), np.asarray(st_f.log_weights), atol=1e-4
+        )

@@ -208,3 +208,82 @@ def test_joint_refine_reduces_pose_error():
     np.testing.assert_allclose(
         np.asarray(refined.kf_poses[0]), np.asarray(st.kf_poses[0]), atol=1e-7
     )
+
+
+def test_capacity_overflow_drops_and_flags():
+    """At capacity add_keyframe must DROP (not overwrite slot K-1) and latch
+    kf_overflow; edge appends past max_edges latch edge_overflow."""
+    cfg = pg.PoseGraphConfig(max_keyframes=4, max_edges=3)
+    st = pg.init_state(cfg, 16)
+    for i in range(4):
+        st = pg.add_keyframe(cfg, st, jnp.array([float(i), 0.0, 0.0]), make_scan(16))
+    assert int(st.n_kf) == 4 and not bool(st.kf_overflow)
+    assert int(st.n_edges) == 3 and not bool(st.edge_overflow)
+    slot3_before = np.asarray(st.kf_poses[3]).copy()
+    st = pg.add_keyframe(cfg, st, jnp.array([99.0, 9.0, 1.0]), make_scan(16))
+    assert bool(st.kf_overflow)
+    assert int(st.n_kf) == 4  # saturated, not wrapped
+    np.testing.assert_array_equal(np.asarray(st.kf_poses[3]), slot3_before)
+    assert int(st.last_kf) == 3  # chain tail untouched by the dropped add
+    st2 = pg._append_edge(st, 0, 3, jnp.zeros(3), (1.0, 1.0, 1.0))
+    assert bool(st2.edge_overflow)
+    assert int(st2.n_edges) == 3
+
+
+def test_grow_preserves_graph_and_continues():
+    """grow() doubles capacity, keeps content bit-identical, clears flags,
+    and subsequent adds land in the new slots."""
+    cfg = pg.PoseGraphConfig(max_keyframes=4, max_edges=4)
+    st = pg.init_state(cfg, 16)
+    for i in range(5):  # 5th add overflows
+        st = pg.add_keyframe(cfg, st, jnp.array([float(i), 0.0, 0.0]), make_scan(16))
+    assert bool(st.kf_overflow)
+    cfg2, st2 = pg.grow(cfg, st)
+    assert cfg2.max_keyframes == 8 and cfg2.max_edges == 8
+    assert not bool(st2.kf_overflow) and not bool(st2.edge_overflow)
+    np.testing.assert_array_equal(np.asarray(st2.kf_poses[:4]), np.asarray(st.kf_poses))
+    np.testing.assert_array_equal(np.asarray(st2.edge_i[:4]), np.asarray(st.edge_i))
+    st2 = pg.add_keyframe(cfg2, st2, jnp.array([4.0, 0.0, 0.0]), make_scan(16))
+    assert int(st2.n_kf) == 5 and int(st2.last_kf) == 4
+    assert int(st2.n_edges) == 4  # the 4->5 chain edge landed
+    np.testing.assert_array_equal(np.asarray(st2.kf_poses[4]), [4.0, 0.0, 0.0])
+    # optimize still runs on the grown graph
+    out = pg.optimize(cfg2, st2)
+    assert out.kf_poses.shape == (8, 3)
+
+
+def test_full_engine_grows_past_keyframe_capacity():
+    """FullSlamEngine with a tiny initial graph must keep adding keyframes
+    via host-side growth on a long trajectory (the silent-saturation bug:
+    runs past capacity previously stopped building the graph AND the map)."""
+    import dataclasses
+
+    from slam_constructor_tpu.models import full, tiny
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    lap = datagen.rectangle_trajectory(step=0.35)
+    poses = lap
+    bearings = datagen.default_bearings(60)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(3),
+        odom_noise_xy=0.01, odom_noise_theta=0.006,
+    )
+    graph = pg.PoseGraphConfig(
+        max_keyframes=8, max_edges=16, keyframe_distance=0.4,
+        loop_radius=1.5, min_index_gap=6, min_prob=0.7, max_candidates=2,
+        local_map_size=100, gn_iterations=8,
+    )
+    e = full.FullSlamEngine(
+        full.FullConfig(tracking=tiny.tiny_config(mc_batch=32, mc_rounds=8),
+                        graph=graph),
+        n_beams=60,
+    )
+    e.state = e.state.replace(pose=gt[0])
+    e.run(scans, odom)
+    assert int(e.graph.n_kf) > 8, "graph stopped at the initial capacity"
+    assert e.cfg.graph.max_keyframes >= 16  # at least one growth happened
+    assert not bool(e.graph.kf_overflow)
+    # keyframes keep following the trajectory after growth
+    kfs = np.asarray(e.keyframe_poses)
+    assert np.ptp(kfs[:, 0]) > 5.0  # spans the loop, not frozen early

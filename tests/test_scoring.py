@@ -77,31 +77,6 @@ def test_stride_preslice_matches_masked_mean(setup):
             )
 
 
-def test_beam_windowed_scoring_matches_full(setup):
-    """Per-beam windowed scoring is fp-exact vs the full view whenever the
-    candidates' endpoints stay inside their windows (truncated 3-sigma
-    proposals around the window center pose)."""
-    view, s, true_pose = setup
-    key = jax.random.PRNGKey(3)
-    noise = jax.random.truncated_normal(key, -3.0, 3.0, (16, 3)) * jnp.array(
-        [0.08, 0.08, 0.01]
-    )
-    poses = true_pose[None] + noise
-    for reducer in ("obstacle", "mean", "overlap"):
-        for stride in (1, 2):
-            cfg = scoring.ScoringConfig(
-                reducer=reducer, stride=stride, impl="gather"
-            )
-            wins, corners = scoring.beam_windows(view, s, true_pose, 64, cfg)
-            sw = scoring.score_poses_windowed(
-                view, s, poses, wins, corners, cfg
-            )
-            sf = scoring.score_poses(view, s, poses, cfg)
-            np.testing.assert_allclose(
-                np.asarray(sw), np.asarray(sf), atol=2e-6
-            )
-
-
 def test_point_weights(setup):
     view, s, true_pose = setup
     w = jnp.zeros(s.n_beams).at[0].set(1.0)  # only beam 0 counts

@@ -246,3 +246,58 @@ def test_refine_config_from_properties():
     # absent -> disabled
     cfg2 = cfglib.engine_config_from({})
     assert cfg2.refine_matcher is None
+
+
+def test_real_format_robotlaser_fixture():
+    """Checked-in real-format CARMEN fixture (ROBOTLASER1 with remissions,
+    PARAM lines, interleaved higher-rate ODOM records): both parsers must
+    agree and extract geometry from the record header."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "mini_robotlaser.clf")
+    log_py = dataset._read_carmen_py(path)
+    assert log_py.ranges.shape == (12, 181)
+    assert abs(log_py.start_angle + np.pi / 2) < 1e-6
+    assert abs(log_py.fov - np.pi) < 1e-6
+    assert abs(log_py.max_range - 30.0) < 1e-6
+    assert log_py.params["robot_frontlaser_offset"] == "0.08"
+    assert log_py.true_poses is None
+    # timestamps come from the laser records, not the ODOM interleave
+    assert np.all(np.diff(log_py.timestamps) > 0.19)
+    if dataset.native_lib() is not None:
+        log_nat = dataset.read_carmen(path)
+        np.testing.assert_allclose(log_nat.ranges, log_py.ranges, atol=1e-5)
+        np.testing.assert_allclose(log_nat.odom_poses, log_py.odom_poses, atol=1e-9)
+        np.testing.assert_allclose(log_nat.timestamps, log_py.timestamps, atol=1e-9)
+        assert abs(log_nat.fov - log_py.fov) < 1e-9
+
+
+def test_real_format_flaser_truepos_fixture():
+    """FLASER fixture with PARAM-declared geometry and TRUEPOS ground truth:
+    gt_at_scans resamples TRUEPOS at scan stamps; a short tiny-SLAM run on
+    the parsed log lands near that ground truth (the one-command real-ATE
+    path of bench_ate --dataset)."""
+    import os
+
+    import jax
+
+    from slam_constructor_tpu.models import tiny
+    from slam_constructor_tpu.ops.geometry import between
+    from slam_constructor_tpu.utils import evaluate
+
+    path = os.path.join(os.path.dirname(__file__), "data", "mini_flaser.clf")
+    log = dataset.read_carmen(path)
+    assert log.ranges.shape == (12, 181)
+    # geometry came from PARAM lines (FLASER records carry none):
+    # 181 beams at 1 deg -> fov = pi
+    assert abs(log.fov - np.pi) < 1e-3
+    assert abs(log.max_range - 30.0) < 1e-6
+    gt = log.gt_at_scans()
+    assert gt is not None and gt.shape == (12, 3)
+
+    scans, odom, ts = dataset.to_sequence(log, max_range=29.0)
+    e = tiny.make_engine(map_size=192, mc_batch=24, mc_rounds=8)
+    e.state = e.state.replace(pose=jnp.asarray(gt[0]))
+    traj, _ = e.run(scans, odom)
+    ate = float(evaluate.ate(traj, jnp.asarray(gt), align=False))
+    assert ate < 0.2, f"real-format log ATE {ate}"
