@@ -15,7 +15,6 @@ kept total so the driver's dryrun exercises it unmodified.
 
 from __future__ import annotations
 
-import concurrent.futures
 import os
 import time
 
@@ -60,29 +59,42 @@ def heartbeat(mesh, axis: str = "hosts", timeout_s: float = 30.0) -> bool:
 
     Returns False (suspected peer failure) if the collective does not
     complete in time — the signal the driver uses to trigger recovery.
+
+    The probe runs on a DAEMON thread: when a peer is dead the collective
+    never completes, and anything that joins that thread (a
+    ThreadPoolExecutor context exit, interpreter shutdown of a non-daemon
+    thread) would hang the *surviving* process right when it must act —
+    found by the fault-injection test (tests/test_multiprocess.py). After a
+    False return the process group is wedged; callers should checkpoint
+    state they own and exit so the launcher can restart the group.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    import threading
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
-    x = jnp.ones((n,), jnp.float32)
+    result: list = []
 
     def probe():
-        def kernel(v):
-            return jax.lax.psum(v, axis)
+        # the input is materialized ON the mesh inside jit: a host-local
+        # array fed to a multi-host computation is not a global jax.Array
+        # (the round-1 probe failed exactly there in real multi-process
+        # runs). The sharded sum lowers to a cross-process all-reduce; the
+        # replicated output is addressable on every process.
+        @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+        def f():
+            x = jax.lax.with_sharding_constraint(
+                jnp.ones((n,), jnp.float32), NamedSharding(mesh, P(axis))
+            )
+            return x.sum()
 
-        out = shard_map(
-            kernel, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-            check_vma=False,
-        )(x)
-        return float(np.asarray(out)[0])
+        result.append(float(np.asarray(f())))
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(probe)
-        try:
-            return fut.result(timeout=timeout_s) == float(n)
-        except concurrent.futures.TimeoutError:
-            return False
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    return bool(result) and result[0] == float(n)
 
 
 class RecoveryLoop:
