@@ -28,6 +28,7 @@ Array = jax.Array
 #: channel index of the accumulated observation weight (cells never observed
 #: have weight 0 — the "unknown cell" predicate of the reference's GridCell).
 WEIGHT_CHANNEL = -1
+_RES_EPS = 1e-9
 
 
 @struct.dataclass
@@ -176,3 +177,44 @@ def grow_to_contain(
         origin=jnp.asarray(new_origin, jnp.float32),
         scale=gm.scale,
     )
+
+
+def rescale(gm: GridMap, model, factor: int) -> GridMap:
+    """Change the map resolution by an integer factor (the reference's
+    ``GridMap`` rescaling hooks / RescalableCachingGridMap scale changes —
+    SURVEY.md §2.3; ``src/core/maps/grid_map.h`` [unverified]).
+
+    ``factor > 0``: COARSEN — each new cell aggregates a ``factor x factor``
+    block: observation weights ADD (total evidence is conserved) and belief
+    channels combine by evidence-weighted mean (cells with no evidence
+    contribute nothing; an all-unknown block keeps the model's init belief).
+    ``factor < 0``: REFINE by ``k = -factor`` — each cell splits into
+    ``k x k`` children carrying the parent belief with weight ``w / k^2``
+    (evidence conserved, occupancy field unchanged).
+
+    World geometry is preserved exactly: origin is unchanged and
+    ``scale' = scale * factor`` (or ``/ k``), so a world point falls in the
+    aggregated/refined cell covering the same area. Coarsening requires the
+    extent to divide by ``factor``. Pure and jit-safe (static factor).
+    """
+    h, w, c = gm.cells.shape
+    if factor == 1 or factor == -1:
+        return gm
+    if factor > 0:
+        k = factor
+        if h % k or w % k:
+            raise ValueError(f"extent {h}x{w} not divisible by factor {k}")
+        blocks = gm.cells.reshape(h // k, k, w // k, k, c)
+        wgt = blocks[..., -1]  # [H', k, W', k]
+        wsum = wgt.sum(axis=(1, 3))  # [H', W']
+        bel = (blocks[..., :-1] * wgt[..., None]).sum(axis=(1, 3)) / jnp.maximum(
+            wsum, _RES_EPS
+        )[..., None]
+        init = jnp.asarray(model.init_belief(), jnp.float32)
+        bel = jnp.where((wsum > 0)[..., None], bel, init)
+        cells = jnp.concatenate([bel, wsum[..., None]], axis=-1)
+        return gm.replace(cells=cells, scale=gm.scale * k)
+    k = -factor
+    cells = jnp.repeat(jnp.repeat(gm.cells, k, axis=0), k, axis=1)
+    cells = cells.at[..., -1].mul(1.0 / (k * k))
+    return gm.replace(cells=cells, scale=gm.scale / k)

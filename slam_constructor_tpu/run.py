@@ -73,7 +73,10 @@ def load_data(args, key):
         scans, odom, ts = dataset.to_sequence(
             log, beam_stride=args.beam_stride, scan_stride=args.scan_stride
         )
-        return scans, odom, None
+        gt = log.gt_at_scans()  # TRUEPOS ground truth when the log has it
+        if gt is not None:
+            gt = jax.numpy.asarray(gt[:: args.scan_stride])
+        return scans, odom, gt
     # synthetic
     occ, origin, scale = (
         datagen.cecum_world() if args.synthetic == "cecum" else datagen.box_world()

@@ -132,6 +132,10 @@ def engine_config_from(p: Mapping[str, Any]):
         min_insert_prob=float(p.get("engine.min_insert_prob", 0.0)),
         use_angle_histogram=str(p.get("engine.use_angle_histogram", "false")).lower()
         in ("1", "true", "yes"),
+        map_storage=str(p.get("engine.map_storage", "dense")),
+        tile_block=int(p.get("engine.tile_block", 32)),
+        tile_capacity=int(p.get("engine.tile_capacity", 512)),
+        window_tiles=int(p.get("engine.window_tiles", 10)),
     )
 
 
@@ -153,6 +157,10 @@ def gmapping_config_from(p: Mapping[str, Any]):
         noise_theta=float(p.get("pf.noise_theta", 0.015)),
         resample_threshold=float(p.get("pf.resample_threshold", 0.5)),
         weight_gamma=float(p.get("pf.weight_gamma", 8.0)),
+        proposal=str(p.get("pf.proposal", "odom")),
+        proposal_samples=int(p.get("pf.proposal_samples", 16)),
+        match_window=int(p.get("pf.match_window", 0)),
+        insert_window=int(p.get("pf.insert_window", 0)),
     )
 
 

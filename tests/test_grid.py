@@ -69,3 +69,57 @@ def test_grow_to_contain_preserves_content(gm, model):
 def test_grow_noop_when_contained(gm, model):
     out = grid.grow_to_contain(gm, model, np.array([[0.0, 0.0]]))
     assert out.height == gm.height and out.width == gm.width
+
+
+def test_rescale_coarsen_conserves_evidence():
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 8, 8, 0.5)
+    w = jnp.zeros((8, 8)).at[2, 2].set(4.0).at[2, 3].set(4.0)
+    s = jnp.zeros((8, 8)).at[2, 2].set(4.0)  # cell (2,2) occupied, (2,3) free
+    gm = grid.apply_observations(gm, model, w, s)
+    g2 = grid.rescale(gm, model, 2)
+    assert g2.cells.shape == (4, 4, 2)
+    assert g2.scale == 1.0
+    np.testing.assert_allclose(float(g2.weight.sum()), float(gm.weight.sum()))
+    # evidence-weighted mean: (1.0*4 + 0.0*4) / 8 = 0.5
+    np.testing.assert_allclose(float(g2.belief[1, 1, 0]), 0.5, atol=1e-6)
+    # unknown blocks keep the init belief
+    np.testing.assert_allclose(float(g2.belief[0, 0, 0]), 0.5, atol=1e-6)
+    assert float(g2.weight[0, 0]) == 0.0
+    # world geometry: the center of fine cell (2, 2) lands in the
+    # aggregated coarse cell (1, 1) — same origin, doubled scale
+    pt = grid.cell_center(gm, jnp.array([[2, 2]]))
+    np.testing.assert_array_equal(
+        np.asarray(grid.world_to_cell(g2, pt))[0], [1, 1]
+    )
+
+
+def test_rescale_refine_then_coarsen_roundtrip():
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 4, 4, 1.0)
+    w = jnp.arange(16.0).reshape(4, 4)
+    s = w * 0.75
+    gm = grid.apply_observations(gm, model, w, s)
+    fine = grid.rescale(gm, model, -2)
+    assert fine.cells.shape == (8, 8, 2)
+    assert fine.scale == 0.5
+    np.testing.assert_allclose(
+        float(fine.weight.sum()), float(gm.weight.sum()), rtol=1e-6
+    )
+    back = grid.rescale(fine, model, 2)
+    np.testing.assert_allclose(
+        np.asarray(back.cells), np.asarray(gm.cells), atol=1e-5
+    )
+    assert back.scale == gm.scale
+
+
+def test_rescale_tbm_masses():
+    model = cells.TBMCell()
+    gm = grid.make_grid_map(model, 4, 4, 0.1)
+    w = jnp.zeros((4, 4)).at[0, 0].set(2.0)
+    s = jnp.zeros((4, 4)).at[0, 0].set(2.0)
+    gm = grid.apply_observations(gm, model, w, s)
+    g2 = grid.rescale(gm, model, 2)
+    m = np.asarray(g2.belief[0, 0])
+    np.testing.assert_allclose(m.sum(), 1.0, atol=1e-5)  # still a mass fn
+    assert m[0] > 0.3  # occupied evidence survived aggregation

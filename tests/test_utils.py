@@ -301,3 +301,30 @@ def test_real_format_flaser_truepos_fixture():
     traj, _ = e.run(scans, odom)
     ate = float(evaluate.ate(traj, jnp.asarray(gt), align=False))
     assert ate < 0.2, f"real-format log ATE {ate}"
+
+
+def test_dataset_presets_build():
+    """Per-dataset parameter presets (SURVEY §2.8 launch configs for MIT
+    Stata / CSAIL / TUM) must build valid engine configs and carry their
+    dataset-specific knobs through the dotted-key system."""
+    import os
+
+    from slam_constructor_tpu.utils import config as cfglib
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    p = cfglib.load_properties(os.path.join(root, "mit_stata.properties"))
+    cfg = cfglib.engine_config_from(p)
+    assert cfg.map_storage == "tiled" and cfg.map_scale == 0.05
+    assert cfg.beam.max_range == 10.0 and cfg.use_angle_histogram
+    assert cfg.cell_model.__class__.__name__ == "TBMCell"
+
+    p = cfglib.load_properties(os.path.join(root, "mit_csail.properties"))
+    cfg = cfglib.engine_config_from(p)
+    assert cfg.map_height == 1024 and cfg.refine_matcher == "hill_climbing"
+
+    p = cfglib.load_properties(os.path.join(root, "tum_2d.properties"))
+    assert "pf.particles" in p
+    gcfg = cfglib.gmapping_config_from(p)
+    assert gcfg.proposal == "improved" and gcfg.insert_window == 384
+    assert gcfg.matcher_cfg.scoring.dtype == "bfloat16"
+    assert gcfg.weight_gamma == 16.0
