@@ -197,17 +197,19 @@ def gmapping_step(
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
 
-    # 1. proposal: odometry + per-particle motion-model noise. With the
-    # improved proposal the pre-match jitter is skipped — diversity comes
-    # from sampling the fitted Gaussian around each particle's own mode.
+    # 1. proposal: odometry + per-particle motion-model noise (BOTH modes —
+    # the pre-match spread is what puts at least some particles inside the
+    # matcher's convergence basin when odometry error exceeds it; dropping
+    # it reduces the filter to a replicated single hypothesis). The
+    # improved proposal additionally needs the NOISELESS motion centers:
+    # its tau weights score probes against the motion model p(x | x_prev,
+    # u), whose center is x_prev ⊕ u, not the particle's noisy draw.
     base = jnp.array([cfg.noise_xy, cfg.noise_xy, cfg.noise_theta])
     alpha = jnp.array([cfg.alpha_xy, cfg.alpha_xy, cfg.alpha_theta])
     sigma = base + alpha * jnp.abs(odom_delta)
-    if cfg.proposal == "improved":
-        priors = compose(state.poses, jnp.broadcast_to(odom_delta, (p, 3)))
-    else:
-        noise = jax.random.normal(k_noise, (p, 3)) * sigma
-        priors = compose(state.poses, odom_delta[None, :] + noise)
+    noise = jax.random.normal(k_noise, (p, 3)) * sigma
+    priors = compose(state.poses, odom_delta[None, :] + noise)
+    motion_centers = compose(state.poses, jnp.broadcast_to(odom_delta, (p, 3)))
 
     keys = jax.random.split(k_match, p)
 
@@ -217,7 +219,7 @@ def gmapping_step(
         wt = cfg.window_tiles
 
         # 2. per-particle scan match against a window of the particle's map
-        def match_one(p_idx, prior_p, key_p):
+        def match_one(p_idx, prior_p, center_p, key_p):
             win = cow.extract_window(
                 state.gm, cfg.cell_model, p_idx, prior_p[:2], wt, wt
             )
@@ -226,12 +228,14 @@ def gmapping_step(
                 k_m, k_prop = jax.random.split(key_p)
                 res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
                 return _improved_proposal(
-                    view, scan, res, prior_p, sigma, k_prop, cfg
+                    view, scan, res, center_p, sigma, k_prop, cfg
                 )
             res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
             return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
-        poses, incr = jax.vmap(match_one)(jnp.arange(p), priors, keys)
+        poses, incr = jax.vmap(match_one)(
+            jnp.arange(p), priors, motion_centers, keys
+        )
 
         # 3. weight update
         logw = resample.normalize_log_weights(state.log_weights + incr)
@@ -268,18 +272,18 @@ def gmapping_step(
         )
 
     # 2. per-particle scan match against the particle's OWN map
-    def match_one(gm_p, prior_p, key_p):
+    def match_one(gm_p, prior_p, center_p, key_p):
         view = scoring.MapView.of(gm_p, cfg.cell_model)
         if cfg.match_window:
             view = scoring.window_view(view, prior_p[:2], cfg.match_window)
         if cfg.proposal == "improved":
             k_m, k_prop = jax.random.split(key_p)
             res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
-            return _improved_proposal(view, scan, res, prior_p, sigma, k_prop, cfg)
+            return _improved_proposal(view, scan, res, center_p, sigma, k_prop, cfg)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
         return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
-    poses, incr = jax.vmap(match_one)(state.gm, priors, keys)
+    poses, incr = jax.vmap(match_one)(state.gm, priors, motion_centers, keys)
 
     # 3. weight update: w *= marginal (improved) or mode^gamma (odom)
     logw = resample.normalize_log_weights(state.log_weights + incr)

@@ -170,16 +170,23 @@ def _sample_matmul(
 
 
 _MATMUL_CHUNK = 8192
+_MATMUL_BYTES = 8 << 20  # [chunk, H] selection-operand budget
 
 
 def _sample_matmul_chunked(v: Array, rel: Array, cfg: "ScoringConfig") -> Array:
-    """Chunked wrapper bounding the [N, H] one-hot working set."""
+    """Chunked wrapper bounding the [N, H] one-hot working set.
+
+    The chunk adapts to the plane height: windowed views (small H) admit
+    proportionally larger chunks — fewer serial lax.map steps for big
+    candidate batches — while the full-map floor stays at the tuned 8192
+    rows (~8 MB selection operand at H=256)."""
     n = rel.shape[0]
-    if n <= _MATMUL_CHUNK:
+    chunk = max(_MATMUL_CHUNK, _MATMUL_BYTES // max(4 * v.shape[0], 1))
+    if n <= chunk:
         return _sample_matmul(v, rel, cfg)
-    pad = (-n) % _MATMUL_CHUNK
+    pad = (-n) % chunk
     rel_p = jnp.concatenate([rel, jnp.zeros((pad, 2), rel.dtype)], 0)
-    chunks = rel_p.reshape(-1, _MATMUL_CHUNK, 2)
+    chunks = rel_p.reshape(-1, chunk, 2)
     out = jax.lax.map(lambda r: _sample_matmul(v, r, cfg), chunks)
     return out.reshape(-1)[:n]
 
