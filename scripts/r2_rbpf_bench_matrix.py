@@ -47,6 +47,9 @@ def run(tag, **kw):
 
 mc_strong = matchers.MonteCarloConfig(sigma_xy=0.08, sigma_theta=0.04,
                                       batch=24, rounds=8, scoring=sc)
+sc_obs = scoring.ScoringConfig(reducer="obstacle", window=1)
+mc_obs_strong = matchers.MonteCarloConfig(sigma_xy=0.08, sigma_theta=0.04,
+                                          batch=24, rounds=8, scoring=sc_obs)
 mc_base = matchers.MonteCarloConfig(sigma_xy=0.08, sigma_theta=0.04,
                                     batch=16, rounds=6, scoring=sc)
 
@@ -62,6 +65,11 @@ CASES = {
                         resample_threshold=0.8, weight_gamma=16.0),
     "imp_strong_t05_g16": dict(matcher_cfg=mc_strong, proposal="improved",
                                resample_threshold=0.5, weight_gamma=16.0),
+    "obs_strong_p16": dict(matcher_cfg=mc_obs_strong),
+    "ovl_strong_p24": dict(matcher_cfg=mc_strong, n_particles=24),
+    "imp_strong_t08_g16_p24": dict(matcher_cfg=mc_strong, proposal="improved",
+                                   resample_threshold=0.8, weight_gamma=16.0,
+                                   n_particles=24),
 }
 only = os.environ.get("ONLY")
 for tag, kw in CASES.items():
