@@ -125,14 +125,25 @@ def main():
         np.asarray(traj)
         report(name, traj, t0)
 
-    e = gmapping.GMappingEngine(
-        gmapping.GMappingConfig(n_particles=16, map_height=256, map_width=256)
+    from slam_constructor_tpu.ops import matchers as mlib
+
+    gcfg = gmapping.GMappingConfig(
+        n_particles=16, map_height=256, map_width=256,
+        matcher_cfg=mlib.MonteCarloConfig(
+            sigma_xy=0.08, sigma_theta=0.04, batch=24, rounds=8
+        ),
     )
+    e = gmapping.GMappingEngine(gcfg)
     e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (16, 3)))
     t0 = time.perf_counter()
     traj, _ = e.run(scans, odom)
     np.asarray(traj)
-    report("gmapping", traj, t0)
+    # online = per-step best particle; the RBPF's canonical output is the
+    # final winner's genealogy-consistent trajectory (how the reference's
+    # published ATE is scored: offline, on the output trajectory)
+    report("gmapping_online", traj, t0)
+    win = e.winner_trajectory()
+    report("gmapping", win, t0)
 
     graph = pg.PoseGraphConfig(
         max_keyframes=128, max_edges=512, keyframe_distance=0.7,
