@@ -47,6 +47,17 @@ def preset(name):
         return gmapping.GMappingConfig(
             **base, proposal="improved", resample_threshold=0.8,
             weight_gamma=16.0)
+    if name == "C_bf":
+        # one-shot dense search: no serial matcher rounds at all — a single
+        # [125*R, H] MXU dispatch per particle replaces the 5-round chain
+        base2 = dict(base)
+        base2["matcher"] = "brute_force"
+        base2["matcher_cfg"] = matchers.BruteForceConfig(
+            half_x=0.16, half_y=0.16, half_theta=0.08, n_x=5, n_y=5,
+            n_theta=5, chunk=65536, scoring=sc_fast)
+        return gmapping.GMappingConfig(
+            **base2, proposal="improved", resample_threshold=0.8,
+            weight_gamma=16.0)
     raise KeyError(name)
 
 
@@ -120,12 +131,9 @@ def sol_capture():
     reports = []
 
     def timed_loop(f, *args, iters=3, inner=32):
-        jitted = jax.jit(
-            lambda a: jax.lax.fori_loop(
-                0, inner, lambda i, c: f(*args) * 0 + c + 1e-9, a
-            )
-        )
-        # warm + measure: run f inside a fused loop via scan for honesty
+        # run f INNER times inside one jitted lax.scan (device-resident;
+        # the axon tunnel's ~30 ms per-dispatch latency would swamp a
+        # per-call measurement) and fetch one scalar
         def body(c, _):
             out = f(*args)
             return c + jax.tree.leaves(out)[0].ravel()[0] * 1e-12, None
@@ -187,10 +195,10 @@ def main():
     pose0 = jnp.array([-5.6, -1.6, 0.0])
     scan = raycast.cast_rays(occ, origin, scale, pose0, bearings)
     if "speed" in which:
-        for name in ("A_odom", "B_improved"):
+        for name in ("A_odom", "B_improved", "C_bf"):
             speed(f"gmapping_fast_{name}", preset(name), scan)
     if "quality" in which:
-        for name in ("A_odom", "B_improved"):
+        for name in ("A_odom", "B_improved", "C_bf"):
             quality(f"gmapping_fast_{name}", preset(name))
     if "sol" in which:
         sol_capture()
