@@ -5,17 +5,17 @@
 # the JSON line + variant tag to TPU_BENCH_VARIANTS.jsonl.
 cd /root/repo
 OUT=TPU_BENCH_VARIANTS.jsonl
-# variant format: tag,PRESET,DTYPE,STRIDE,BEAMWIN
+# variant format: tag,PRESET,DTYPE,STRIDE
+# (the round-1 *_bw beam-window variants are gone with the knob — see
+# DESIGN.md "Beam windows post-mortem"; r2 fast-preset rows come from
+# scripts/r2_tpu_final.py instead.)
 # tiny_f32 first: it is exactly what the driver's end-of-round `python
 # bench.py` runs, so its number predicts the recorded headline.
 VARIANTS=(
-  "tiny_f32,tiny,float32,1,0"
-  "tiny_f32_bw,tiny,float32,1,auto"
-  "tiny_bf16,tiny,bfloat16,1,0"
-  "tiny_bf16_bw,tiny,bfloat16,1,auto"
-  "gmapping_bf16,gmapping,bfloat16,1,0"
-  "gmapping_bf16_bw,gmapping,bfloat16,1,auto"
-  "viny_f32,viny,float32,1,0"
+  "tiny_f32_r2,tiny,float32,1"
+  "tiny_bf16_r2,tiny,bfloat16,1"
+  "gmapping_bf16_r2,gmapping,bfloat16,1"
+  "viny_f32_r2,viny,float32,1"
 )
 for i in $(seq 1 400); do
   if ! timeout 60 python -c "
@@ -27,12 +27,11 @@ assert float(np.asarray(jnp.ones((64,64))@jnp.ones((64,64)))[0,0]) == 64.0
   fi
   ran=0
   for v in "${VARIANTS[@]}"; do
-    IFS=, read -r tag preset dtype stride beamwin <<<"$v"
+    IFS=, read -r tag preset dtype stride <<<"$v"
     grep -q "\"tag\": \"$tag\"" "$OUT" 2>/dev/null && continue
     echo "[variants] $tag"
     line=$(SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=$preset \
            SLAM_BENCH_DTYPE=$dtype SLAM_BENCH_STRIDE=$stride \
-           SLAM_BENCH_BEAMWIN=$beamwin \
            timeout 420 python bench.py 2>/dev/null | tail -1)
     if [ -n "$line" ]; then
       echo "${line%\}}, \"tag\": \"$tag\", \"ts\": $(date +%s)}" >>"$OUT"

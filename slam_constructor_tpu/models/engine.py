@@ -110,7 +110,11 @@ def _refresh_pyramid(cfg: EngineConfig, gm, pose: Array, pyramid: tuple) -> tupl
     view = scoring.MapView.of(gm, cfg.cell_model)
     h, w = view.occ.shape
     step = 1 << levels
-    bbox = 2 * int(-(-cfg.beam.max_range // cfg.map_scale)) + 4
+    # the insert's reach: usable range, PLUS the wall-blur tail that writes
+    # occupancy up to hole_width/2 beyond the endpoint (raycast.py) — missing
+    # it left blur cells outside the refreshed window for blur configs
+    reach = cfg.beam.max_range + cfg.beam.hole_width / 2.0
+    bbox = 2 * int(-(-reach // cfg.map_scale)) + 4
     size = m3rsmlib.pyramid_refresh_size(bbox, levels, min(h, w))
     if h % step or w % step or size >= min(h, w):
         return m3rsmlib.build_pyramid(view, levels, unknown)
@@ -247,7 +251,14 @@ def slam_step(
         )
     pyramid = state.pyramid
     if _uses_pyramid(cfg) and pyramid:
-        pyramid = _refresh_pyramid(cfg, gm, res.pose, pyramid)
+        # refresh only when the insert actually changed cells (q == 0 on
+        # gated scans leaves the map untouched; re-pooling would be wasted)
+        pyramid = jax.lax.cond(
+            q > 0,
+            lambda g, pyr: _refresh_pyramid(cfg, g, res.pose, pyr),
+            lambda g, pyr: pyr,
+            gm, pyramid,
+        )
     return SlamState(
         gm=gm, pose=res.pose, key=key, step=state.step + 1, last_prob=res.prob,
         pyramid=pyramid,

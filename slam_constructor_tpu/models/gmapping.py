@@ -172,7 +172,15 @@ def _improved_proposal(view, scan, matched, prior_p, sigma, key, cfg):
     probs = scoringlib.score_poses(view, scan, cand, cfg.matcher_cfg.scoring)
     d = cand - prior_p[None, :]
     d = d.at[:, 2].set(wrap_angle(d[:, 2]))
-    log_motion = -0.5 * ((d / jnp.maximum(sigma, 1e-4)) ** 2).sum(-1)
+    # sigma is a BODY-frame spread (the motion noise is composed in the
+    # robot frame); rotate the world-frame probe deltas into the prior's
+    # body frame before applying the axis-aligned Gaussian
+    ch, sh = jnp.cos(prior_p[2]), jnp.sin(prior_p[2])
+    d_body = jnp.stack(
+        [ch * d[:, 0] + sh * d[:, 1], -sh * d[:, 0] + ch * d[:, 1], d[:, 2]],
+        axis=-1,
+    )
+    log_motion = -0.5 * ((d_body / jnp.maximum(sigma, 1e-4)) ** 2).sum(-1)
     logtau = cfg.weight_gamma * jnp.log(probs + 1e-6) + log_motion
     lse = jax.scipy.special.logsumexp(logtau)
     wj = jnp.exp(logtau - lse)  # [J], sums to 1

@@ -24,6 +24,7 @@ struct ParsedLog {
   std::vector<double> odom;    // n_scans * 3 (x, y, theta at scan time)
   std::vector<double> stamps;  // n_scans
   std::vector<double> meta;    // start_angle, fov, max_range (ROBOTLASER1)
+  std::string aux;             // raw PARAM/TRUEPOS lines (rare; parsed in py)
 };
 
 // tokenize a line in place; returns token count
@@ -100,6 +101,10 @@ void* slamio_parse_carmen(const char* path) {
     } else if (!strncmp(line, "ROBOTLASER1", 11)) {
       split(line, toks);
       parse_robotlaser(toks, *out);
+    } else if (!strncmp(line, "PARAM", 5) || !strncmp(line, "TRUEPOS", 7)) {
+      // keep the raw line for the Python side (PARAM laser geometry,
+      // TRUEPOS ground truth) — still ONE pass over the file
+      out->aux.append(line);
     }
   }
   fclose(f);
@@ -117,6 +122,7 @@ int slamio_meta(void* h, double* out3) {
   out3[0] = m[0]; out3[1] = m[1]; out3[2] = m[2];
   return 1;
 }
+const char* slamio_aux(void* h) { return ((ParsedLog*)h)->aux.c_str(); }
 void slamio_free(void* h) { delete (ParsedLog*)h; }
 
 }  // extern "C"

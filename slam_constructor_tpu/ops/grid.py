@@ -198,6 +198,8 @@ def rescale(gm: GridMap, model, factor: int) -> GridMap:
     extent to divide by ``factor``. Pure and jit-safe (static factor).
     """
     h, w, c = gm.cells.shape
+    if factor == 0:
+        raise ValueError("rescale factor must be a nonzero integer")
     if factor == 1 or factor == -1:
         return gm
     if factor > 0:

@@ -15,6 +15,7 @@ kept total so the driver's dryrun exercises it unmodified.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -69,32 +70,42 @@ def heartbeat(mesh, axis: str = "hosts", timeout_s: float = 30.0) -> bool:
     state they own and exit so the launcher can restart the group.
     """
     import threading
-    from functools import partial
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
     result: list = []
+    f = _heartbeat_probe(mesh, axis)
 
     def probe():
-        # the input is materialized ON the mesh inside jit: a host-local
-        # array fed to a multi-host computation is not a global jax.Array
-        # (the round-1 probe failed exactly there in real multi-process
-        # runs). The sharded sum lowers to a cross-process all-reduce; the
-        # replicated output is addressable on every process.
-        @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-        def f():
-            x = jax.lax.with_sharding_constraint(
-                jnp.ones((n,), jnp.float32), NamedSharding(mesh, P(axis))
-            )
-            return x.sum()
-
         result.append(float(np.asarray(f())))
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout=timeout_s)
     return bool(result) and result[0] == float(n)
+
+
+@functools.lru_cache(maxsize=8)
+def _heartbeat_probe(mesh, axis: str):
+    """Cached jitted probe for ``heartbeat`` (the monitoring hot path runs
+    every step — re-jitting a fresh closure per call would retrace).
+
+    The input is materialized ON the mesh inside jit: a host-local array
+    fed to a multi-host computation is not a global jax.Array (the round-1
+    probe failed exactly there in real multi-process runs). The sharded sum
+    lowers to a cross-process all-reduce; the replicated output is
+    addressable on every process."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis]
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def f():
+        x = jax.lax.with_sharding_constraint(
+            jnp.ones((n,), jnp.float32), NamedSharding(mesh, P(axis))
+        )
+        return x.sum()
+
+    return f
 
 
 class RecoveryLoop:

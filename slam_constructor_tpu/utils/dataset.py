@@ -50,6 +50,8 @@ def _load_native():
     lib.slamio_stamps.restype = ctypes.POINTER(ctypes.c_double)
     lib.slamio_stamps.argtypes = [ctypes.c_void_p]
     lib.slamio_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.slamio_aux.restype = ctypes.c_char_p
+    lib.slamio_aux.argtypes = [ctypes.c_void_p]
     lib.slamio_free.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -104,28 +106,32 @@ class CarmenLog:
         return self.true_poses[idx, 1:4].astype(np.float32)
 
 
-def _scan_aux_records(path: str) -> tuple[dict, np.ndarray | None]:
-    """Cheap second pass for the rare non-laser records: PARAM key/values
-    and TRUEPOS ground truth (the laser records are the heavy ones and go
-    through the native parser)."""
+def _parse_aux_lines(lines) -> tuple[dict, np.ndarray | None]:
+    """Parse the rare non-laser records: PARAM key/values and TRUEPOS
+    ground truth. The native parser collects these lines in its single
+    pass (slamio_aux); the pure-Python fallback feeds the whole file."""
     params: dict = {}
     true_rows: list = []
-    with open(path) as f:
-        for line in f:
-            if line.startswith("PARAM"):
-                t = line.split()
-                if len(t) >= 3:
-                    params[t[1]] = t[2]
-            elif line.startswith("TRUEPOS"):
-                # TRUEPOS true_x true_y true_theta odom_x odom_y odom_theta
-                #   ipc_ts host logger_ts
-                t = line.split()
-                if len(t) >= 8:
-                    true_rows.append(
-                        [float(t[7]), float(t[1]), float(t[2]), float(t[3])]
-                    )
+    for line in lines:
+        if line.startswith("PARAM"):
+            t = line.split()
+            if len(t) >= 3:
+                params[t[1]] = t[2]
+        elif line.startswith("TRUEPOS"):
+            # TRUEPOS true_x true_y true_theta odom_x odom_y odom_theta
+            #   ipc_ts host logger_ts
+            t = line.split()
+            if len(t) >= 8:
+                true_rows.append(
+                    [float(t[7]), float(t[1]), float(t[2]), float(t[3])]
+                )
     tp = np.asarray(true_rows, np.float64) if true_rows else None
     return params, tp
+
+
+def _scan_aux_records(path: str) -> tuple[dict, np.ndarray | None]:
+    with open(path) as f:
+        return _parse_aux_lines(f)
 
 
 def read_carmen(path: str, prefer_native: bool = True) -> CarmenLog:
@@ -151,7 +157,10 @@ def read_carmen(path: str, prefer_native: bool = True) -> CarmenLog:
                         log.start_angle, log.fov, log.max_range = (
                             meta[0], meta[1], meta[2],
                         )
-                    log.params, log.true_poses = _scan_aux_records(path)
+                    aux = lib.slamio_aux(h).decode(errors="replace")
+                    log.params, log.true_poses = _parse_aux_lines(
+                        aux.splitlines()
+                    )
                     _apply_params(log, geometry_from_records=has_meta)
                     return log
             finally:

@@ -123,3 +123,33 @@ def test_cow_sharing_after_convergence(model):
     assert int(cow.distinct_blocks(st)) == 8  # 4 particles x 2 tiles
     st = cow.resample(st, jnp.zeros(4, jnp.int32))
     assert int(cow.distinct_blocks(st)) == 2  # everyone shares ancestor 0
+
+
+def test_cow_improved_proposal_steps():
+    """CoW storage + the Grisetti improved proposal: the probe/weight path
+    must work against the windowed CoW view (weights finite, masses sane,
+    tracking not diverging over a few steps)."""
+    from slam_constructor_tpu.models import gmapping
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    poses = datagen.corridor_trajectory(6)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, poses, bearings, jax.random.PRNGKey(5),
+        odom_noise_xy=0.02, odom_noise_theta=0.01,
+    )
+    cfg = gmapping.GMappingConfig(
+        n_particles=4, map_height=128, map_width=128, map_storage="cow",
+        tile_capacity=256, proposal="improved", weight_gamma=16.0,
+    )
+    st = gmapping.init_state(cfg).replace(
+        poses=jnp.broadcast_to(gt[0], (4, 3))
+    )
+    step = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg, s, sc, od))
+    for t in range(5):
+        st, _ = step(st, jax.tree.map(lambda a: a[t], scans), odom[t])
+    assert bool(jnp.isfinite(st.log_weights).all())
+    assert float(jnp.exp(st.log_weights).sum()) == pytest.approx(1.0, abs=1e-4)
+    err = float(jnp.hypot(*(gmapping.estimate_pose(st)[:2] - gt[4][:2])))
+    assert err < 0.5, err

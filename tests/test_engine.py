@@ -184,10 +184,15 @@ def test_m3rsm_engine_end_to_end(sequence):
     assert err < 0.25, err
 
 
-def test_m3rsm_live_pyramid_equals_rebuild(sequence):
+@pytest.mark.parametrize("wall_blur", [False, True])
+def test_m3rsm_live_pyramid_equals_rebuild(sequence, wall_blur):
     """The engine-maintained live pyramid (build at init + incremental
     update_pyramid per insert — the RescalableCachingGridMap caching
-    contract) must track identically to per-scan full rebuilds."""
+    contract) must track identically to per-scan full rebuilds.
+
+    wall_blur=True guards the refresh-footprint bound: blur evidence lands
+    up to hole_width/2 BEYOND max_range, which the original bbox missed
+    (stale coarse cells -> silently wrong B&B pruning)."""
     import dataclasses
 
     from slam_constructor_tpu.ops import m3rsm as m3
@@ -203,10 +208,9 @@ def test_m3rsm_live_pyramid_equals_rebuild(sequence):
             half_x=0.3, half_y=0.3, half_theta=0.1, n_theta=5, levels=3,
             beam_width=64, scoring=sc.ScoringConfig(reducer="overlap"),
         ),
-        # short reach => insert footprint (2*30+4 cells) < map extent, so
-        # the engine takes the incremental update_pyramid path, not the
-        # full-rebuild fallback
-        beam=raycast.BeamConfig(max_range=3.0),
+        # short reach => insert footprint < map extent, so the engine takes
+        # the incremental update_pyramid path, not the rebuild fallback
+        beam=raycast.BeamConfig(max_range=3.0, wall_blur=wall_blur),
     )
     st_live = eng.init_state(cfg)
     assert len(st_live.pyramid) == cfg.matcher_cfg.levels + 1
