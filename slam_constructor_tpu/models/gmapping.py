@@ -414,11 +414,31 @@ class GMappingEngine:
         #: (all_poses [T, P, 3], ancestors [T, P]) from the last offline run
         self.genealogy = None
 
+    #: online mode: poll the CoW pool-overflow latch every this many scans
+    #: (a host sync, so not every step) and grow the pool 2x when it fires —
+    #: the host re-shard event the overflow flag exists for
+    overflow_check_every: int = 32
+
     def handle_scan(self, scan: LaserScan, odom_delta: Array) -> Array:
         self.state, _ = self._step(self.state, scan, odom_delta)
         pose = estimate_pose(self.state)
         self.trajectory.append(pose)
+        if (
+            self.cfg.map_storage == "cow"
+            and len(self.trajectory) % self.overflow_check_every == 0
+            and bool(self.state.gm.overflow)
+        ):
+            self._grow_pool()
         return pose
+
+    def _grow_pool(self) -> None:
+        from ..ops import cow
+
+        new_cap = 2 * self.state.gm.capacity
+        self.state = self.state.replace(
+            gm=cow.grow_pool(self.state.gm, self.cfg.cell_model, new_cap)
+        )
+        # shapes changed: the jitted step retraces on next call
 
     def run(self, scans: LaserScan, odom: Array):
         self.state, traj, neffs, all_poses, ancestors = run_sequence(

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import grid as gridlib
+from .cells import init_cell as _model_init_cell
 
 Array = jax.Array
 
@@ -65,10 +66,9 @@ def make_block_map(
     origin: tuple[float, float] | None = None,
 ) -> BlockMap:
     c = model.n_channels + 1
-    init = jnp.concatenate(
-        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
-    )
-    pool = jnp.broadcast_to(init, (capacity, block, block, c)).copy()
+    pool = jnp.broadcast_to(
+        _model_init_cell(model), (capacity, block, block, c)
+    ).copy()
     if origin is None:
         origin = (
             -tiles_w * block * scale / 2.0,
@@ -84,18 +84,18 @@ def make_block_map(
     )
 
 
-def _init_cell(bm: BlockMap, model) -> Array:
-    return jnp.concatenate(
-        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
-    )
-
-
 def allocate_tiles(bm: BlockMap, needed: Array) -> BlockMap:
     """Allocate pool slots for tiles where ``needed`` (bool[TH, TW]) is set
-    and the table has no block yet. Pure, fixed shapes."""
+    and the table has no block yet. Pure, fixed shapes.
+
+    At pool exhaustion the tile stays UNALLOCATED (-1): it keeps reading as
+    the init cell and its writes are dropped, while ``n_alloc`` counts the
+    demand so ``overflowed`` latches. (Storing the out-of-capacity slot id
+    would make readers clip it onto an unrelated tile's block.)"""
     new = needed & (bm.table < 0)
     flat = new.ravel()
     slots = bm.n_alloc + jnp.cumsum(flat.astype(jnp.int32)) - 1
+    slots = jnp.where(slots < bm.capacity, slots, -1)
     slots = jnp.where(flat, slots, bm.table.ravel())
     return bm.replace(
         table=slots.reshape(bm.table.shape).astype(jnp.int32),
@@ -161,41 +161,58 @@ def insert_scan(bm: BlockMap, model, pose: Array, scan, cfg) -> BlockMap:
     return scatter_observations(bm, model, rows, cols, w_obs, s_obs)
 
 
-def extract_window(
-    bm: BlockMap, model, center: Array, tiles_h: int, tiles_w: int
+def gather_window(
+    table: Array,  # i32[TH, TW] slot per tile (-1 = init cell)
+    pool: Array,  # f32[N, B, B, C]
+    model,
+    origin: Array,
+    scale: float,
+    center: Array,
+    tiles_h: int,
+    tiles_w: int,
 ) -> gridlib.GridMap:
-    """Gather the B-aligned window of ``tiles_h x tiles_w`` tiles around a
-    world-space center into a dense GridMap for scoring/matching."""
-    b = bm.block
-    th, tw = bm.table.shape
+    """Shared tile-window gather (used by the single-table BlockMap and by
+    the CoW per-particle tables): densify the B-aligned ``tiles_h x
+    tiles_w`` window around a world-space center into a GridMap."""
+    n, b = pool.shape[0], pool.shape[1]
+    th, tw = table.shape
     ct = gridlib.world_to_cell(
-        gridlib.GridMap(cells=jnp.zeros((1, 1, 1)), origin=bm.origin, scale=bm.scale),
+        gridlib.GridMap(cells=jnp.zeros((1, 1, 1)), origin=origin, scale=scale),
         center,
     )
     t0r = jnp.clip(ct[..., 0] // b - tiles_h // 2, 0, max(th - tiles_h, 0))
     t0c = jnp.clip(ct[..., 1] // b - tiles_w // 2, 0, max(tw - tiles_w, 0))
     tr = t0r + jnp.arange(tiles_h)
     tc = t0c + jnp.arange(tiles_w)
-    slots = bm.table[tr[:, None], tc[None, :]]  # [tiles_h, tiles_w]
-    init = _init_cell(bm, model)
+    slots = table[tr[:, None], tc[None, :]]  # [tiles_h, tiles_w]
     blocks = jnp.where(
         (slots >= 0)[..., None, None, None],
-        bm.pool[jnp.clip(slots, 0, bm.capacity - 1)],
-        init,
+        pool[jnp.clip(slots, 0, n - 1)],
+        _model_init_cell(model),
     )  # [tiles_h, tiles_w, B, B, C]
     dense = blocks.transpose(0, 2, 1, 3, 4).reshape(
         tiles_h * b, tiles_w * b, -1
     )
-    origin = bm.origin + jnp.stack(
+    w_origin = origin + jnp.stack(
         [t0c.astype(jnp.float32), t0r.astype(jnp.float32)]
-    ) * (b * bm.scale)
-    return gridlib.GridMap(cells=dense, origin=origin, scale=bm.scale)
+    ) * (b * scale)
+    return gridlib.GridMap(cells=dense, origin=w_origin, scale=scale)
+
+
+def extract_window(
+    bm: BlockMap, model, center: Array, tiles_h: int, tiles_w: int
+) -> gridlib.GridMap:
+    """Gather the B-aligned window of ``tiles_h x tiles_w`` tiles around a
+    world-space center into a dense GridMap for scoring/matching."""
+    return gather_window(
+        bm.table, bm.pool, model, bm.origin, bm.scale, center, tiles_h, tiles_w
+    )
 
 
 def occupancy_plane(bm: BlockMap, model) -> Array:
     """Full-extent dense occupancy readout (host/export path)."""
     gm = extract_window(
-        bm, model, -bm.origin[::-1] * 0.0, bm.table.shape[0], bm.table.shape[1]
+        bm, model, jnp.zeros(2), bm.table.shape[0], bm.table.shape[1]
     )
     return gridlib.occupancy_plane(gm, model)
 

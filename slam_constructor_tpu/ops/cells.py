@@ -36,6 +36,14 @@ def _mean_obs(w: Array, s: Array) -> Array:
     return s / jnp.maximum(w, _EPS)
 
 
+def init_cell(model) -> Array:
+    """The stored cell vector for an untouched cell: model init belief +
+    a zero weight channel (shared by every block/pool storage)."""
+    return jnp.concatenate(
+        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class BayesBaseCell:
     """tinySLAM's base cell: exponential smoothing toward the observation,

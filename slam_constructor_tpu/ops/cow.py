@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import grid as gridlib
+from .cells import init_cell as _init_cell_of
 
 Array = jax.Array
 
@@ -47,12 +48,6 @@ class CowBlockMaps:
         return self.pool.shape[0]
 
 
-def _init_cell(model) -> Array:
-    return jnp.concatenate(
-        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
-    )
-
-
 def make_cow_maps(
     model,
     n_particles: int,
@@ -67,7 +62,7 @@ def make_cow_maps(
     if origin is None:
         origin = (-tiles_w * block * scale / 2.0, -tiles_h * block * scale / 2.0)
     return CowBlockMaps(
-        pool=jnp.broadcast_to(_init_cell(model), (capacity, block, block, c)).copy(),
+        pool=jnp.broadcast_to(_init_cell_of(model), (capacity, block, block, c)).copy(),
         tables=jnp.full((n_particles, tiles_h, tiles_w), -1, jnp.int32),
         refcnt=jnp.zeros((capacity,), jnp.int32),
         origin=jnp.asarray(origin, jnp.float32),
@@ -77,23 +72,33 @@ def make_cow_maps(
     )
 
 
-#: max (particle, tile) pairs gaining a new block per step; bounds the
-#: compacted copy work. A 360-beam 15m scan touches O(10^2) tiles.
+#: floor for the per-step (particle, tile) new-block budget; the effective
+#: bound scales with the particle count (every particle can touch a fresh
+#: O(10^2)-tile footprint on the SAME step — notably step 1, where nothing
+#: is mapped yet), so a flat cap silently dropped allocations at high P.
 MAX_WRITES_PER_STEP = 2048
 
 
-def prepare_write(st: CowBlockMaps, model, touched: Array) -> CowBlockMaps:
+def prepare_write(
+    st: CowBlockMaps, model, touched: Array, max_writes: int | None = None
+) -> CowBlockMaps:
     """Make every (particle, tile) in ``touched`` (bool[P, TH, TW])
     exclusively owned: allocate unmapped tiles, copy-on-write shared ones.
 
-    Work is compacted to ``MAX_WRITES_PER_STEP`` entries (fixed shapes): the
-    needed (particle, tile) pairs are brought to the front with one argsort,
-    so block copies cost O(K) gathers, not O(P * tiles).
+    Work is compacted to ``k_max`` entries (fixed shapes): the needed
+    (particle, tile) pairs are brought to the front with one argsort, so
+    block copies cost O(K) gathers, not O(P * tiles). ``k_max`` defaults to
+    ``max(MAX_WRITES_PER_STEP, 96 * P)`` (clipped to P*T) — enough for
+    every particle to claim a full scan footprint in one step; demand past
+    it (or past the free-slot count) latches ``overflow`` and the excess
+    writes are dropped, never misdirected.
     """
     p, th, tw = st.tables.shape
     t = th * tw
     n = st.capacity
-    k_max = min(MAX_WRITES_PER_STEP, p * t)
+    if max_writes is None:
+        max_writes = max(MAX_WRITES_PER_STEP, 96 * p)
+    k_max = min(max_writes, p * t)
     slot = st.tables.reshape(p * t)
     flat_touched = touched.reshape(p * t)
 
@@ -121,7 +126,7 @@ def prepare_write(st: CowBlockMaps, model, touched: Array) -> CowBlockMaps:
     ).reshape(p, th, tw)
 
     # block copies: cow sources copy, fresh allocations reset to init
-    init = _init_cell(model)
+    init = _init_cell_of(model)
     blocks = jnp.where(
         (src >= 0)[:, None, None, None], st.pool[jnp.clip(src, 0, n - 1)], init
     )  # [K, B, B, C]
@@ -159,7 +164,10 @@ def scatter_observations(
         -1,
     )
     bb = b * b
-    lin = jnp.where(slot >= 0, slot * bb + rr * b + cc, -1)
+    # drop sentinel must be OUT-OF-BOUNDS HIGH: negative scatter indices
+    # WRAP in XLA (-1 lands on the last cell of the last block), so an
+    # unmapped tile's observations would corrupt another particle's block
+    lin = jnp.where(slot >= 0, slot * bb + rr * b + cc, n * bb)
     w_flat = jnp.zeros((n * bb,), jnp.float32).at[lin].add(
         jnp.where(ok, w, 0.0), mode="drop"
     )
@@ -178,28 +186,15 @@ def scatter_observations(
 def extract_window(
     st: CowBlockMaps, model, p: Array, center: Array, tiles_h: int, tiles_w: int
 ) -> gridlib.GridMap:
-    """Dense window around ``center`` from particle ``p``'s map."""
-    b = st.block
-    _, th, tw = st.tables.shape
-    rel = (center - st.origin) / st.scale
-    ct_r = jnp.floor(rel[1]).astype(jnp.int32) // b
-    ct_c = jnp.floor(rel[0]).astype(jnp.int32) // b
-    t0r = jnp.clip(ct_r - tiles_h // 2, 0, max(th - tiles_h, 0))
-    t0c = jnp.clip(ct_c - tiles_w // 2, 0, max(tw - tiles_w, 0))
-    tr = t0r + jnp.arange(tiles_h)
-    tc = t0c + jnp.arange(tiles_w)
-    slots = st.tables[p, tr[:, None], tc[None, :]]
-    init = _init_cell(model)
-    blocks = jnp.where(
-        (slots >= 0)[..., None, None, None],
-        st.pool[jnp.clip(slots, 0, st.capacity - 1)],
-        init,
+    """Dense window around ``center`` from particle ``p``'s map (the shared
+    tile-window gather of blockmap.gather_window over this particle's
+    table)."""
+    from .blockmap import gather_window
+
+    return gather_window(
+        st.tables[p], st.pool, model, st.origin, st.scale, center,
+        tiles_h, tiles_w,
     )
-    dense = blocks.transpose(0, 2, 1, 3, 4).reshape(tiles_h * b, tiles_w * b, -1)
-    origin = st.origin + jnp.stack(
-        [t0c.astype(jnp.float32), t0r.astype(jnp.float32)]
-    ) * (b * st.scale)
-    return gridlib.GridMap(cells=dense, origin=origin, scale=st.scale)
 
 
 def resample(st: CowBlockMaps, idx: Array) -> CowBlockMaps:
@@ -215,3 +210,20 @@ def resample(st: CowBlockMaps, idx: Array) -> CowBlockMaps:
 
 def distinct_blocks(st: CowBlockMaps) -> Array:
     return (st.refcnt > 0).sum()
+
+
+def grow_pool(st: CowBlockMaps, model, new_capacity: int) -> CowBlockMaps:
+    """Host-side pool growth (the CoW analogue of dense-map growth / the
+    pose graph's grow): pad the shared pool with init blocks, extend the
+    refcounts, clear the overflow latch. Tables are slot indices into the
+    (prefix-preserved) pool, so they stay valid unchanged. Never call under
+    jit — shapes change; a retrace follows."""
+    assert new_capacity >= st.capacity
+    n_new = new_capacity - st.capacity
+    b, c = st.block, st.pool.shape[-1]
+    pad = jnp.broadcast_to(_init_cell_of(model), (n_new, b, b, c))
+    return st.replace(
+        pool=jnp.concatenate([st.pool, pad], axis=0),
+        refcnt=jnp.concatenate([st.refcnt, jnp.zeros((n_new,), jnp.int32)]),
+        overflow=jnp.array(False),
+    )

@@ -72,9 +72,9 @@ def make_ep_maps(
 ) -> EpCowMaps:
     assert n_particles % n_shards == 0, "particles must divide the mesh axis"
     c = model.n_channels + 1
-    init = jnp.concatenate(
-        [jnp.asarray(model.init_belief(), jnp.float32), jnp.zeros((1,))]
-    )
+    from ..ops.cells import init_cell
+
+    init = init_cell(model)
     if origin is None:
         origin = (-tiles_w * block * scale / 2.0, -tiles_h * block * scale / 2.0)
     return EpCowMaps(
@@ -203,9 +203,7 @@ def ep_resample(
         valid_slot = uq_n != _SENTINEL
 
         flat_pools = pools_all.reshape(d_n * n, *pool.shape[2:])
-        init = jnp.concatenate(
-            [jnp.zeros((flat_pools.shape[-1] - 1,)), jnp.zeros((1,))]
-        )  # unreferenced slots: content irrelevant, refcnt 0
+        init = jnp.zeros((flat_pools.shape[-1],))  # refcnt-0 slots: content irrelevant
         new_pool = jnp.where(
             valid_slot[:, None, None, None],
             flat_pools[jnp.clip(uq_n, 0, d_n * n - 1)],
@@ -272,6 +270,12 @@ def make_ep_match(cfg, mesh: Mesh, axis: str = "chips"):
     from ..ops import matchers as matcherslib
     from ..ops import scoring
 
+    if getattr(cfg, "proposal", "odom") != "odom":
+        raise NotImplementedError(
+            "EP-sharded matching implements the 'odom' proposal only; "
+            "proposal='improved' would silently diverge from the "
+            "single-device step (different key splits + weight increments)"
+        )
     _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     p = cfg.n_particles
     wt = cfg.window_tiles
@@ -348,8 +352,17 @@ def make_ep_step(cfg, mesh: Mesh, axis: str = "chips"):
             w.ravel(), s.ravel(), mesh, axis,
         )
 
-        idx, logw, _ = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
-        st = ep_resample(st, idx, mesh, axis)
+        idx, logw, did = resample.maybe_resample(k_res, logw, cfg.resample_threshold)
+        # ep_resample all_gathers every shard's full pool — the bandwidth
+        # worst case — so it runs ONLY when resampling actually fired
+        # (identity idx is a semantic no-op); this keeps the scan path free
+        # of collectives as the module contract promises
+        st = jax.lax.cond(
+            did,
+            lambda s: ep_resample(s, idx, mesh, axis),
+            lambda s: s,
+            st,
+        )
         poses = poses[idx]
         return (
             GMappingState(

@@ -153,3 +153,52 @@ def test_cow_improved_proposal_steps():
     assert float(jnp.exp(st.log_weights).sum()) == pytest.approx(1.0, abs=1e-4)
     err = float(jnp.hypot(*(gmapping.estimate_pose(st)[:2] - gt[4][:2])))
     assert err < 0.5, err
+
+
+def test_grow_pool_preserves_maps_and_clears_overflow(model):
+    """Host-side pool growth: content identical, tables untouched, refcounts
+    extended with zeros, overflow cleared, and subsequent writes land in the
+    new slots."""
+    from slam_constructor_tpu.ops import cow
+
+    st = cow.make_cow_maps(model, n_particles=2, tiles_h=4, tiles_w=4,
+                           capacity=6, block=8)
+    touched = jnp.zeros((2, 4, 4), bool).at[:, 1:3, 1:3].set(True)
+    st = cow.prepare_write(st, model, touched)  # 8 needed > 6 capacity
+    assert bool(st.overflow)
+    occ_before = {
+        p: np.asarray(cow.extract_window(st, model, p, jnp.zeros(2), 4, 4).cells)
+        for p in range(2)
+    }
+    g = cow.grow_pool(st, model, 16)
+    assert g.capacity == 16 and not bool(g.overflow)
+    np.testing.assert_array_equal(np.asarray(g.tables), np.asarray(st.tables))
+    for p in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(cow.extract_window(g, model, p, jnp.zeros(2), 4, 4).cells),
+            occ_before[p],
+        )
+    # the previously-dropped tiles can now be claimed
+    g = cow.prepare_write(g, model, touched)
+    assert not bool(g.overflow)
+    assert int((np.asarray(g.tables) >= 0).sum()) == 8
+
+
+def test_unmapped_tile_writes_dropped_not_wrapped(model):
+    """Scatter with an unmapped tile must DROP the observation: the old -1
+    linear sentinel WRAPPED in XLA scatter and corrupted the last cell of
+    the last pool block."""
+    from slam_constructor_tpu.ops import cow
+
+    st = cow.make_cow_maps(model, n_particles=1, tiles_h=2, tiles_w=2,
+                           capacity=4, block=4)
+    # map tile (0,0) only; then scatter into the UNMAPPED tile (1,1)
+    touched = jnp.zeros((1, 2, 2), bool).at[0, 0, 0].set(True)
+    st = cow.prepare_write(st, model, touched)
+    pool_before = np.asarray(st.pool)
+    st2 = cow.scatter_observations(
+        st, model,
+        pid=jnp.array([0]), rows=jnp.array([7]), cols=jnp.array([7]),
+        w=jnp.array([5.0]), s=jnp.array([5.0]),
+    )
+    np.testing.assert_array_equal(np.asarray(st2.pool), pool_before)
