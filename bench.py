@@ -86,13 +86,10 @@ def main():
     )
 
     if preset == "gmapping":
-        cfg = gmapping.GMappingConfig(
-            n_particles=30, map_height=map_size, map_width=map_size,
-            matcher_cfg=matchers.MonteCarloConfig(
-                sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=6,
-                scoring=sc,
-            ),
-        )
+        # the fast single-chip operating point (>=10x target): bf16
+        # overlap scoring + 5 MC rounds + usable-range windows; see
+        # gmapping.fast_config and TPU_BENCH_VARIANTS gmapping_fast_* rows
+        cfg = gmapping.fast_config(n_particles=30, map_size=map_size)
         state = gmapping.init_state(cfg)
         run = lambda s: gmapping.run_sequence(cfg, s, scans, odom)
         metric = "gmapping_scans_per_sec"

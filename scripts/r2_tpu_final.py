@@ -47,6 +47,19 @@ def preset(name):
         return gmapping.GMappingConfig(
             **base, proposal="improved", resample_threshold=0.8,
             weight_gamma=16.0)
+    if name == "A_r4":
+        base2 = dict(base)
+        base2["matcher_cfg"] = matchers.MonteCarloConfig(
+            sigma_xy=0.08, sigma_theta=0.04, batch=20, rounds=4,
+            scoring=sc_fast)
+        return gmapping.GMappingConfig(**base2)
+    if name == "A_s2":
+        base2 = dict(base)
+        base2["matcher_cfg"] = matchers.MonteCarloConfig(
+            sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=5,
+            scoring=scoring.ScoringConfig(reducer="overlap", window=1,
+                                          dtype="bfloat16", stride=2))
+        return gmapping.GMappingConfig(**base2)
     if name == "C_bf":
         # one-shot dense search: no serial matcher rounds at all — a single
         # [125*R, H] MXU dispatch per particle replaces the 5-round chain
@@ -54,7 +67,7 @@ def preset(name):
         base2["matcher"] = "brute_force"
         base2["matcher_cfg"] = matchers.BruteForceConfig(
             half_x=0.16, half_y=0.16, half_theta=0.08, n_x=5, n_y=5,
-            n_theta=5, chunk=65536, scoring=sc_fast)
+            n_theta=5, chunk=125, scoring=sc_fast)
         return gmapping.GMappingConfig(
             **base2, proposal="improved", resample_threshold=0.8,
             weight_gamma=16.0)
@@ -195,10 +208,12 @@ def main():
     pose0 = jnp.array([-5.6, -1.6, 0.0])
     scan = raycast.cast_rays(occ, origin, scale, pose0, bearings)
     if "speed" in which:
-        for name in ("A_odom", "B_improved", "C_bf"):
+        for name in os.environ.get(
+            "PRESETS", "A_odom,B_improved,C_bf").split(","):
             speed(f"gmapping_fast_{name}", preset(name), scan)
     if "quality" in which:
-        for name in ("A_odom", "B_improved", "C_bf"):
+        for name in os.environ.get(
+            "PRESETS", "A_odom,B_improved,C_bf").split(","):
             quality(f"gmapping_fast_{name}", preset(name))
     if "sol" in which:
         sol_capture()

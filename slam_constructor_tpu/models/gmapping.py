@@ -466,3 +466,48 @@ class GMappingEngine:
             return gridlib.occupancy_plane(win, self.cfg.cell_model)
         gm_best = jax.tree.map(lambda a: a[i], self.state.gm)
         return gridlib.occupancy_plane(gm_best, self.cfg.cell_model)
+
+
+def fast_config(
+    n_particles: int = 30,
+    map_size: int = 256,
+    map_scale: float = 0.1,
+    usable_range: float = 4.0,
+    proposal: str = "odom",
+) -> GMappingConfig:
+    """The single-chip TPU operating point that clears the >=10x real-time
+    target at 30 particles (r2_tpu_final measurements): bf16 overlap
+    scoring, 5 Monte-Carlo rounds, usable-range-capped insertion
+    (GMapping's maxUrange) with pose-centered insert/match windows sized to
+    cover it exactly. Window arithmetic: reach = (usable_range +
+    hole_width)/scale + margin; windows are snapped up to cover 2x reach.
+    """
+    cells_reach = int(-(-(usable_range + 0.3) // map_scale)) + 4
+    win = min(2 * ((cells_reach + 15) // 16 * 16), map_size)
+    cfg = GMappingConfig(
+        n_particles=n_particles,
+        map_height=map_size,
+        map_width=map_size,
+        map_scale=map_scale,
+        matcher_cfg=matcherslib.MonteCarloConfig(
+            sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=5,
+            scoring=_fast_scoring(),
+        ),
+        match_window=win,
+        insert_window=win,
+        beam=raycast.BeamConfig(max_range=usable_range),
+        proposal=proposal,
+    )
+    if proposal == "improved":
+        cfg = dataclasses.replace(
+            cfg, resample_threshold=0.8, weight_gamma=16.0
+        )
+    return cfg
+
+
+def _fast_scoring():
+    from ..ops import scoring as scoringlib
+
+    return scoringlib.ScoringConfig(
+        reducer="overlap", window=1, dtype="bfloat16"
+    )
