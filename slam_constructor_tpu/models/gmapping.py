@@ -95,6 +95,14 @@ class GMappingConfig:
     #: covers the scan's usable reach: window/2 >= (max_range +
     #: hole_width)/scale + 2 — the GMapping maxUrange discipline.
     insert_window: int = 0
+    #: how the insertion window is extracted/written back on the dense path:
+    #: 'slice'  — vmap(dynamic_slice/dynamic_update_slice) with traced
+    #:            offsets (P serialized window copies on TPU — the gather
+    #:            lowering CLAUDE.md warns about, acceptable at small P).
+    #: 'onehot' — separable one-hot f32 matmuls extract the window and
+    #:            mask+scatter it back (the ops/scoring.py MXU sampling
+    #:            pattern; exact — one-hot f32 matmuls are bitwise on TPU).
+    insert_impl: str = "slice"
 
 
 @struct.dataclass
@@ -300,20 +308,42 @@ def gmapping_step(
     def insert_one(gm_p, pose_p):
         if not cfg.insert_window:
             return raycast.insert_scan(gm_p, cfg.cell_model, pose_p, scan, cfg.beam)
-        # windowed insert: rasterize + fold on a grid-aligned dynamic slice
-        # around the pose (cells outside it are untouched by construction
-        # once endpoint evidence respects max_range)
+        # windowed insert: rasterize + fold on a pose-centered window (cells
+        # outside it are untouched by construction once endpoint evidence
+        # respects max_range)
         h, w, c = gm_p.cells.shape
         wi = min(cfg.insert_window, h, w)
         rel = (pose_p[:2] - gm_p.origin) / gm_p.scale
         col = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32) - wi // 2, 0, w - wi)
         row = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32) - wi // 2, 0, h - wi)
-        sub = jax.lax.dynamic_slice(gm_p.cells, (row, col, 0), (wi, wi, c))
-        sub_gm = gridlib.GridMap(
-            cells=sub,
-            origin=gm_p.origin + jnp.stack([col, row]).astype(jnp.float32) * gm_p.scale,
-            scale=gm_p.scale,
+        win_origin = (
+            gm_p.origin + jnp.stack([col, row]).astype(jnp.float32) * gm_p.scale
         )
+        if cfg.insert_impl == "onehot":
+            # separable one-hot extraction: sub = Er @ cells @ Ec^T. One-hot
+            # f32 matmuls are exact on the MXU (verified bitwise on chip —
+            # CLAUDE.md), and under vmap this is one batched [P,wi,H]x
+            # [P,H,W] matmul instead of P serialized window gathers.
+            er = (
+                (row + jnp.arange(wi))[:, None] == jnp.arange(h)[None, :]
+            ).astype(jnp.float32)  # [wi, H]
+            ec = (
+                (col + jnp.arange(wi))[:, None] == jnp.arange(w)[None, :]
+            ).astype(jnp.float32)  # [wi, W]
+            sub = jnp.einsum("rh,hwc->rwc", er, gm_p.cells)
+            sub = jnp.einsum("sw,rwc->rsc", ec, sub)
+            sub_gm = gridlib.GridMap(cells=sub, origin=win_origin, scale=gm_p.scale)
+            sub_gm = raycast.insert_scan(sub_gm, cfg.cell_model, pose_p, scan, cfg.beam)
+            # masked write-back: cells*(1-mask) + Er^T @ sub_new @ Ec — the
+            # mask is exactly 0/1 so untouched cells are bitwise preserved
+            scat = jnp.einsum("rh,rsc->hsc", er, sub_gm.cells)
+            scat = jnp.einsum("sw,hsc->hwc", ec, scat)
+            mask = er.sum(0)[:, None] * ec.sum(0)[None, :]
+            return gm_p.replace(
+                cells=gm_p.cells * (1.0 - mask)[:, :, None] + scat
+            )
+        sub = jax.lax.dynamic_slice(gm_p.cells, (row, col, 0), (wi, wi, c))
+        sub_gm = gridlib.GridMap(cells=sub, origin=win_origin, scale=gm_p.scale)
         sub_gm = raycast.insert_scan(sub_gm, cfg.cell_model, pose_p, scan, cfg.beam)
         return gm_p.replace(
             cells=jax.lax.dynamic_update_slice(gm_p.cells, sub_gm.cells, (row, col, 0))

@@ -80,9 +80,23 @@ def make_sharded_run(cfg: gm_lib.GMappingConfig, mesh: Mesh, axis="particles"):
 # --- explicit shard_map collectives (multi-host building blocks) ------------
 
 
-def psum_normalize_log_weights(logw: Array, mesh: Mesh, axis: str = "particles"):
+def psum_normalize_log_weights(
+    logw: Array, mesh: Mesh, axis: str = "particles",
+    deterministic: bool = False,
+):
     """Cross-shard weight normalization: stable logsumexp via a psum'd max
-    and a psum'd sum — the per-scan ICI collective of the distributed RBPF."""
+    and a psum'd sum — the per-scan ICI collective of the distributed RBPF.
+
+    ``deterministic=True`` swaps the XLA all-reduce (association order is an
+    implementation detail) for the fixed-order ladder reduction in
+    ``utils.determinism`` — bitwise-reproducible across runs and device
+    re-orderings, at an all-gather of P floats (negligible next to map
+    traffic). Use it whenever the run claims bit-reproducibility.
+    """
+    if deterministic:
+        from ..utils import determinism
+
+        return determinism.deterministic_normalize_log_weights(logw, mesh, axis)
 
     def kernel(lw):
         local_max = jnp.max(lw)

@@ -179,6 +179,37 @@ def test_gmapping_windowed_insert_matches_full(sequence):
         )
 
 
+def test_gmapping_onehot_insert_matches_slice(sequence):
+    """insert_impl='onehot' (separable one-hot MXU extract + masked matmul
+    write-back) must be bitwise-equal to the dynamic-slice window insert:
+    the one-hot matmuls and the 0/1 write-back mask are exact in f32."""
+    from slam_constructor_tpu.ops import raycast
+
+    scans, odom, gt = sequence
+    beam = raycast.BeamConfig(max_range=3.0)
+    mk = lambda impl: gmapping.GMappingConfig(
+        n_particles=4, map_height=160, map_width=160, beam=beam,
+        insert_window=96, insert_impl=impl,
+    )
+    cfg_s, cfg_o = mk("slice"), mk("onehot")
+    st_s = gmapping.init_state(cfg_s)
+    st_o = gmapping.init_state(cfg_o)
+    st_s = st_s.replace(poses=jnp.broadcast_to(gt[0], (4, 3)))
+    st_o = st_o.replace(poses=jnp.broadcast_to(gt[0], (4, 3)))
+    step_s = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg_s, s, sc, od))
+    step_o = jax.jit(lambda s, sc, od: gmapping.gmapping_step(cfg_o, s, sc, od))
+    for t in range(3):
+        s_t = jax.tree.map(lambda a: a[t], scans)
+        st_s, _ = step_s(st_s, s_t, odom[t])
+        st_o, _ = step_o(st_o, s_t, odom[t])
+        np.testing.assert_array_equal(
+            np.asarray(st_o.poses), np.asarray(st_s.poses)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_o.gm.cells), np.asarray(st_s.gm.cells)
+        )
+
+
 @pytest.mark.slow
 def test_rbpf_beats_single_hypothesis_under_noise():
     """The point of the RBPF (SURVEY §3.4): under odometry noise well above
