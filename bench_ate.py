@@ -150,6 +150,18 @@ def main():
     win = e.winner_trajectory()
     report("gmapping", win, t0, dt=dt_run)
 
+    # the >=10x TPU operating point (one-hot windows, 4 m usable range) on
+    # the same harness — the apples-to-apples quality check for the speed
+    # preset (see TPU_BENCH_VARIANTS gmapping_abl_*/gmapping_fast_* rows)
+    e = gmapping.GMappingEngine(gmapping.fast_config(n_particles=30))
+    e.state = e.state.replace(poses=jnp.broadcast_to(gt[0], (30, 3)))
+    t0 = time.perf_counter()
+    traj, _ = e.run(scans, odom)
+    np.asarray(traj)
+    dt_run = time.perf_counter() - t0
+    report("gmapping_fast_online", traj, t0, dt=dt_run)
+    report("gmapping_fast", e.winner_trajectory(), t0, dt=dt_run)
+
     graph = pg.PoseGraphConfig(
         max_keyframes=128, max_edges=512, keyframe_distance=0.7,
         loop_radius=2.0, min_index_gap=8, min_prob=0.65, max_candidates=4,

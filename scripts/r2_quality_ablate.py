@@ -52,6 +52,20 @@ def variants():
         # for the vmap(dynamic_slice) suspicion; quality must equal 'fast')
         "onehot": dataclasses.replace(fast, insert_impl="onehot"),
     }
+    # composite operating points: one-hot extraction for BOTH windows
+    # (bitwise-equal to slice, so quality is carried by range/dtype only)
+    oo = dataclasses.replace(
+        fast, insert_impl="onehot", match_window_impl="onehot")
+    out["oo"] = oo
+    out["oo_f32"] = dataclasses.replace(
+        oo, matcher_cfg=dataclasses.replace(oo.matcher_cfg, scoring=f32))
+    for rng in (6.0, 8.0):
+        c = gmapping.fast_config(
+            n_particles=30, map_size=256, usable_range=rng)
+        c = dataclasses.replace(
+            c, insert_impl="onehot", match_window_impl="onehot",
+            matcher_cfg=dataclasses.replace(c.matcher_cfg, scoring=f32))
+        out[f"oo_r{int(rng)}_f32"] = c
     return out
 
 

@@ -89,6 +89,10 @@ class GMappingConfig:
     #: within beam reach of the prior — a window covering the scan
     #: footprint is exact (scoring.window_view) at a fraction of the cost.
     match_window: int = 0
+    #: window extraction for matching: 'slice' (vmap(dynamic_slice) — P
+    #: serialized gathers on TPU) or 'onehot' (batched one-hot matmul,
+    #: bitwise-equal; see insert_impl)
+    match_window_impl: str = "slice"
     #: dense-path insertion window (cells, 0 = whole map): rasterize + cell
     #: fold run on a dynamic slice around the particle pose instead of the
     #: full plane. Exact (bitwise vs full-plane insert) when the window
@@ -291,7 +295,12 @@ def gmapping_step(
     def match_one(gm_p, prior_p, center_p, key_p):
         view = scoring.MapView.of(gm_p, cfg.cell_model)
         if cfg.match_window:
-            view = scoring.window_view(view, prior_p[:2], cfg.match_window)
+            win_fn = (
+                scoring.window_view_onehot
+                if cfg.match_window_impl == "onehot"
+                else scoring.window_view
+            )
+            view = win_fn(view, prior_p[:2], cfg.match_window)
         if cfg.proposal == "improved":
             k_m, k_prop = jax.random.split(key_p)
             res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
@@ -525,6 +534,11 @@ def fast_config(
         ),
         match_window=win,
         insert_window=win,
+        # one-hot MXU window extraction on both paths: the vmap(dynamic_
+        # slice) form serializes per particle (measured: 2.47 -> 1.68 ms/
+        # step from the insert alone, scripts/r2_parts2.py); bitwise-equal
+        match_window_impl="onehot",
+        insert_impl="onehot",
         beam=raycast.BeamConfig(max_range=usable_range),
         proposal=proposal,
     )
@@ -538,6 +552,9 @@ def fast_config(
 def _fast_scoring():
     from ..ops import scoring as scoringlib
 
+    # f32: measured the same step time as bf16 at this operating point
+    # (426.0 vs 417.4 scans/s, gmapping_abl_f32 vs _fast) with identical
+    # 2-lap ATE — the simpler numerics story wins when it costs nothing
     return scoringlib.ScoringConfig(
-        reducer="overlap", window=1, dtype="bfloat16"
+        reducer="overlap", window=1, dtype="float32"
     )

@@ -99,6 +99,37 @@ def window_view(view: MapView, center_xy: Array, size: int) -> MapView:
     return MapView(occ=occ, known=known, origin=origin, scale=view.scale)
 
 
+def window_view_onehot(view: MapView, center_xy: Array, size: int) -> MapView:
+    """`window_view` with the extraction done by separable one-hot f32
+    matmuls instead of dynamic_slice.
+
+    Bitwise-equal output (one-hot f32 matmuls are exact on the MXU). The
+    point: under ``vmap`` over particles a traced-offset ``dynamic_slice``
+    lowers to P serialized window gathers (measured 0.76 ms of a 1.32 ms
+    RBPF match at P=30), while this form is one batched matmul. Same trick
+    as ``gmapping.insert_impl='onehot'``.
+    """
+    h, w = view.occ.shape
+    sh, sw = min(size, h), min(size, w)
+    rel = (center_xy - view.origin) / view.scale
+    col = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32) - sw // 2, 0, w - sw)
+    row = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32) - sh // 2, 0, h - sh)
+    er = ((row + jnp.arange(sh))[:, None] == jnp.arange(h)[None, :]).astype(
+        jnp.float32
+    )  # [sh, H]
+    ec = ((col + jnp.arange(sw))[:, None] == jnp.arange(w)[None, :]).astype(
+        jnp.float32
+    )  # [sw, W]
+    occ = jnp.einsum("sw,rw->rs", ec, jnp.einsum("rh,hw->rw", er, view.occ))
+    known_f = jnp.einsum(
+        "sw,rw->rs", ec, jnp.einsum("rh,hw->rw", er, view.known.astype(jnp.float32))
+    )
+    origin = view.origin + jnp.stack([col, row]).astype(jnp.float32) * view.scale
+    return MapView(
+        occ=occ, known=known_f > 0.5, origin=origin, scale=view.scale
+    )
+
+
 def _window_offsets(radius: int) -> Array:
     r = jnp.arange(-radius, radius + 1)
     return jnp.stack(jnp.meshgrid(r, r, indexing="ij"), axis=-1).reshape(-1, 2)

@@ -170,3 +170,23 @@ def test_bf16_matmul_close_to_f32(setup):
     np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=5e-3)
     # ranking of well-separated candidates must be preserved
     assert int(jnp.argmax(bf16)) == int(jnp.argmax(f32))
+
+
+def test_window_view_onehot_matches_slice():
+    """window_view_onehot must be bitwise-equal to window_view, including
+    when the window clamps at map edges (the one-hot rows select exactly
+    the slice's cells; f32 one-hot matmuls are exact)."""
+    import numpy as np
+    from slam_constructor_tpu.ops import scoring as sc
+
+    key = jax.random.PRNGKey(9)
+    occ = jax.random.uniform(key, (80, 64))
+    known = jax.random.uniform(jax.random.PRNGKey(10), (80, 64)) > 0.4
+    view = sc.MapView(occ=occ, known=known,
+                      origin=jnp.array([-3.0, -2.0]), scale=0.1)
+    for center in ([0.0, 0.0], [-2.95, -1.95], [5.0, 7.0], [1.3, -0.4]):
+        a = sc.window_view(view, jnp.array(center), 32)
+        b = sc.window_view_onehot(view, jnp.array(center), 32)
+        np.testing.assert_array_equal(np.asarray(a.occ), np.asarray(b.occ))
+        np.testing.assert_array_equal(np.asarray(a.known), np.asarray(b.known))
+        np.testing.assert_array_equal(np.asarray(a.origin), np.asarray(b.origin))
