@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _tpu_responsive(timeout_s: float = 90.0) -> bool:
+def _tpu_probe_once(timeout_s: float = 90.0) -> bool:
     """Probe TPU health in a subprocess: the axon tunnel sometimes hangs
     compute indefinitely while still listing the device; a hung probe must
     not take the benchmark down with it."""
@@ -51,6 +51,36 @@ def _tpu_responsive(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _tpu_responsive() -> tuple[bool, int]:
+    """Retry the probe across a window instead of giving up on one shot.
+
+    Round-2 post-mortem: the official BENCH_r02 capture fell back to CPU
+    (1.35x) on a single failed 90 s probe while the same evening's manual
+    captures measured 23-31x on the chip — a transient tunnel outage at
+    capture time must not throw away the round's headline number.  Probe
+    every SLAM_BENCH_PROBE_INTERVAL s (default 60) for up to
+    SLAM_BENCH_PROBE_WINDOW s (default 900); returns (up, attempts).
+    """
+    import sys
+    import time as _time
+
+    window = float(os.environ.get("SLAM_BENCH_PROBE_WINDOW", 900))
+    interval = float(os.environ.get("SLAM_BENCH_PROBE_INTERVAL", 60))
+    deadline = _time.monotonic() + window
+    attempts = 0
+    while True:
+        attempts += 1
+        if _tpu_probe_once():
+            return True, attempts
+        if _time.monotonic() >= deadline:
+            return False, attempts
+        print(
+            f"bench: TPU probe {attempts} failed; retrying in {interval:.0f}s",
+            file=sys.stderr,
+        )
+        _time.sleep(interval)
+
+
 def main():
     n_scans = int(os.environ.get("SLAM_BENCH_SCANS", 256))
     n_beams = int(os.environ.get("SLAM_BENCH_BEAMS", 360))
@@ -58,10 +88,14 @@ def main():
     preset = os.environ.get("SLAM_BENCH_PRESET", "tiny")
 
     backend = "device"
-    if not os.environ.get("SLAM_BENCH_NO_PROBE") and not _tpu_responsive():
-        # hung/unavailable accelerator: fall back to CPU rather than hang
-        jax.config.update("jax_platforms", "cpu")
-        backend = "cpu-fallback"
+    probe_attempts = 0
+    if not os.environ.get("SLAM_BENCH_NO_PROBE"):
+        up, probe_attempts = _tpu_responsive()
+        if not up:
+            # hung/unavailable accelerator through the whole retry window:
+            # fall back to CPU rather than hang, and say so loudly
+            jax.config.update("jax_platforms", "cpu")
+            backend = "cpu-fallback"
 
     from slam_constructor_tpu.models import engine as eng
     from slam_constructor_tpu.models import gmapping, tiny, viny
@@ -121,17 +155,16 @@ def main():
     sps = n_scans / dt
     if os.environ.get("SLAM_BENCH_KERNELS"):
         kernel_reports(scans, cfg)  # stderr; stdout stays one JSON line
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sps, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(sps / 40.0, 2),
-                "backend": f"{backend}:{jax.default_backend()}",
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(sps, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / 40.0, 2),
+        "backend": f"{backend}:{jax.default_backend()}",
+    }
+    if probe_attempts > 1 or backend != "device":
+        out["probe_attempts"] = probe_attempts
+    print(json.dumps(out))
 
 
 def kernel_reports(scans, cfg) -> None:

@@ -108,6 +108,24 @@ class GMappingConfig:
     #:            pattern; exact — one-hot f32 matmuls are bitwise on TPU).
     insert_impl: str = "slice"
 
+    def __post_init__(self):
+        # a typo'd impl string would silently fall back to the slow 'slice'
+        # path and quietly lose the measured speedup — fail loudly instead
+        for field in ("match_window_impl", "insert_impl"):
+            v = getattr(self, field)
+            if v not in ("slice", "onehot"):
+                raise ValueError(
+                    f"{field}={v!r}: must be 'slice' or 'onehot'"
+                )
+        if self.map_storage not in ("dense", "cow"):
+            raise ValueError(
+                f"map_storage={self.map_storage!r}: must be 'dense' or 'cow'"
+            )
+        if self.proposal not in ("odom", "improved"):
+            raise ValueError(
+                f"proposal={self.proposal!r}: must be 'odom' or 'improved'"
+            )
+
 
 @struct.dataclass
 class GMappingState:
@@ -339,17 +357,21 @@ def gmapping_step(
             ec = (
                 (col + jnp.arange(wi))[:, None] == jnp.arange(w)[None, :]
             ).astype(jnp.float32)  # [wi, W]
-            sub = jnp.einsum("rh,hwc->rwc", er, gm_p.cells)
-            sub = jnp.einsum("sw,rwc->rsc", ec, sub)
+            # precision pinned so the non-one-hot operand is never truncated
+            # to bf16 by a different XLA/TPU default — exact by construction
+            hi = jax.lax.Precision.HIGHEST
+            sub = jnp.einsum("rh,hwc->rwc", er, gm_p.cells, precision=hi)
+            sub = jnp.einsum("sw,rwc->rsc", ec, sub, precision=hi)
             sub_gm = gridlib.GridMap(cells=sub, origin=win_origin, scale=gm_p.scale)
             sub_gm = raycast.insert_scan(sub_gm, cfg.cell_model, pose_p, scan, cfg.beam)
-            # masked write-back: cells*(1-mask) + Er^T @ sub_new @ Ec — the
-            # mask is exactly 0/1 so untouched cells are bitwise preserved
-            scat = jnp.einsum("rh,rsc->hsc", er, sub_gm.cells)
-            scat = jnp.einsum("sw,hsc->hwc", ec, scat)
-            mask = er.sum(0)[:, None] * ec.sum(0)[None, :]
+            # masked write-back: select(mask, Er^T @ sub_new @ Ec, cells) —
+            # untouched cells are passed through by selection, so they stay
+            # bitwise intact even if a cell channel is ever non-finite
+            scat = jnp.einsum("rh,rsc->hsc", er, sub_gm.cells, precision=hi)
+            scat = jnp.einsum("sw,hsc->hwc", ec, scat, precision=hi)
+            mask = (er.sum(0)[:, None] * ec.sum(0)[None, :]) > 0.5
             return gm_p.replace(
-                cells=gm_p.cells * (1.0 - mask)[:, :, None] + scat
+                cells=jnp.where(mask[:, :, None], scat, gm_p.cells)
             )
         sub = jax.lax.dynamic_slice(gm_p.cells, (row, col, 0), (wi, wi, c))
         sub_gm = gridlib.GridMap(cells=sub, origin=win_origin, scale=gm_p.scale)
@@ -515,8 +537,9 @@ def fast_config(
     proposal: str = "odom",
 ) -> GMappingConfig:
     """The single-chip TPU operating point that clears the >=10x real-time
-    target at 30 particles (r2_tpu_final measurements): bf16 overlap
-    scoring, 5 Monte-Carlo rounds, usable-range-capped insertion
+    target at 30 particles (r2_tpu_final measurements): f32 overlap
+    scoring (bf16 measured equal-speed here — see _fast_scoring), 5
+    Monte-Carlo rounds, usable-range-capped insertion
     (GMapping's maxUrange) with pose-centered insert/match windows sized to
     cover it exactly. Window arithmetic: reach = (usable_range +
     hole_width)/scale + margin; windows are snapped up to cover 2x reach.

@@ -120,9 +120,19 @@ def window_view_onehot(view: MapView, center_xy: Array, size: int) -> MapView:
     ec = ((col + jnp.arange(sw))[:, None] == jnp.arange(w)[None, :]).astype(
         jnp.float32
     )  # [sw, W]
-    occ = jnp.einsum("sw,rw->rs", ec, jnp.einsum("rh,hw->rw", er, view.occ))
+    # precision pinned: bitwise extraction must not depend on the chip's
+    # default matmul precision truncating the map operand to bf16
+    hi = jax.lax.Precision.HIGHEST
+    occ = jnp.einsum(
+        "sw,rw->rs", ec, jnp.einsum("rh,hw->rw", er, view.occ, precision=hi),
+        precision=hi,
+    )
     known_f = jnp.einsum(
-        "sw,rw->rs", ec, jnp.einsum("rh,hw->rw", er, view.known.astype(jnp.float32))
+        "sw,rw->rs", ec,
+        jnp.einsum(
+            "rh,hw->rw", er, view.known.astype(jnp.float32), precision=hi
+        ),
+        precision=hi,
     )
     origin = view.origin + jnp.stack([col, row]).astype(jnp.float32) * view.scale
     return MapView(
@@ -193,7 +203,13 @@ def _sample_matmul(
     if cfg.dtype == "bfloat16":
         a = a.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
-    m = jnp.dot(a, v, preferred_element_type=jnp.float32)  # [N, W]
+        prec = None  # operands already bf16; precision is moot
+    else:
+        # f32 path is documented bitwise-equal to the gather path for the
+        # one-hot reducers — pin precision so that holds on any XLA/TPU
+        # default, not just the chip it was measured on (ADVICE r2)
+        prec = jax.lax.Precision.HIGHEST
+    m = jnp.dot(a, v, preferred_element_type=jnp.float32, precision=prec)  # [N, W]
     ssum = (m * b).sum(-1)
     coverage = a.sum(-1) * b.sum(-1)
     val = ssum + (total - coverage) * cfg.unknown_prob
