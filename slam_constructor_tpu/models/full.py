@@ -22,11 +22,73 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import grid as gridlib
-from ..ops.geometry import between, compose
+from ..ops.geometry import between, compose, pose_distance
 from ..ops.scan import LaserScan
 from . import posegraph as pg
 from .engine import EngineConfig, SlamState, init_state, slam_step
 from .tiny import tiny_config
+
+#: device-side "no keyframe yet" sentinel: far enough that the first scan
+#: always trips the keyframe gate, small enough that f32 distance math is
+#: exact (1e6 << f32 range)
+_NO_KF = (1.0e6, 1.0e6, 0.0)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def track_segment(
+    cfg: EngineConfig,
+    kf_distance: float,
+    kf_angle_weight: float,
+    state: SlamState,
+    last_kf_pose: jax.Array,
+    scans: LaserScan,
+    odom: jax.Array,
+):
+    """Device-resident tracking over a scan segment with an on-device
+    keyframe gate.
+
+    Round-2 weak point #4: the host-side gate forced a ~30 ms device->host
+    fetch per scan through the TPU tunnel, capping the full pipeline at ~33
+    scans/s regardless of kernel speed. Here the gate (the reference's
+    keyframe-distance test) runs inside ``lax.scan``; the host fetches the
+    per-scan poses and keyframe flags ONCE per segment and does graph work
+    (add/detect/optimize) at keyframe rate. Loop closures therefore land
+    with up to one segment of latency — the PP tradeoff of SURVEY.md §2.9
+    (the BA stage runs at lower rate, overlapped with tracking).
+
+    Returns ``(state, last_kf_pose, poses f32[S,3], kf_flags bool[S])``.
+    """
+
+    def body(carry, inp):
+        st, last_kf = carry
+        scan, od = inp
+        st = slam_step(cfg, st, scan, od)
+        is_kf = (
+            pose_distance(last_kf, st.pose, kf_angle_weight) > kf_distance
+        )
+        last_kf = jnp.where(is_kf, st.pose, last_kf)
+        return (st, last_kf), (st.pose, is_kf)
+
+    (state, last_kf_pose), (poses, flags) = jax.lax.scan(
+        body, (state, last_kf_pose), (scans, odom)
+    )
+    return state, last_kf_pose, poses, flags
+
+
+def _between_np(a, b):
+    """Numpy twin of geometry.between for host-side anchor bookkeeping
+    (keeps per-segment anchor math off the device entirely)."""
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    dx = b[..., 0] - a[..., 0]
+    dy = b[..., 1] - a[..., 1]
+    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
+    x = c * dx + s * dy
+    y = -s * dx + c * dy
+    th = (b[..., 2] - a[..., 2] + np.pi) % (2 * np.pi) - np.pi
+    return np.stack([x, y, th], axis=-1).astype(np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,10 +130,17 @@ class FullSlamEngine:
 
         model = t.cell_model
         self._track = jax.jit(partial(slam_step, t))
-        #: host-side copy of the last keyframe pose: the keyframe gate is
-        #: 4 flops — running it on host avoids a device sync per scan (the
-        #: tracking step stays fully async-dispatched between keyframes)
+        g = self.cfg.graph
+        #: segment tracker with device-side keyframe gate (static gate
+        #: params only — re-jit is NOT needed on graph capacity growth)
+        self._track_seg = partial(
+            track_segment, t, g.keyframe_distance, g.keyframe_angle_weight
+        )
+        #: device-resident last-keyframe pose for the in-segment gate
+        self._last_kf_dev = jnp.asarray(_NO_KF, jnp.float32)
+        #: host mirrors for anchor bookkeeping (no per-scan device sync)
         self._last_kf_pose_host = None
+        self._n_kf_host = 0
         self._rejit()
 
     def _rejit(self):
@@ -111,43 +180,75 @@ class FullSlamEngine:
         self._rejit()
 
     def handle_scan(self, scan: LaserScan, odom_delta) -> jax.Array:
-        self.state = self._track(self.state, scan, odom_delta)
-        pose = self.state.pose
+        """Online mode: one scan at a time (forces a per-scan sync — use
+        :meth:`run` / :meth:`run_segments` for throughput)."""
+        seg_scans = jax.tree.map(lambda a: a[None], scan)
+        self.run_segments(seg_scans, jnp.asarray(odom_delta)[None], segment=1)
+        return self.state.pose
 
-        if self._should_add_host(pose):
-            import numpy as np
+    def run_segments(self, scans: LaserScan, odom, segment: int = 64):
+        """Segmented pipeline: device-resident tracking in ``segment``-scan
+        chunks (one host fetch per chunk), graph work at keyframe rate,
+        loop closures applied at segment boundaries."""
+        import numpy as np
 
-            self._last_kf_pose_host = np.asarray(pose)
-            self._ensure_capacity()
-            self.graph = self._add_kf(self.graph, pose, scan)
-            self.graph, n_loops = self._detect(self.graph, scan, pose)
-            self.pending_loops += int(n_loops)
-            self.total_loops += int(n_loops)
+        n = int(odom.shape[0])
+        for s0 in range(0, n, segment):
+            s1 = min(s0 + segment, n)
+            seg_scans = jax.tree.map(lambda a: a[s0:s1], scans)
+            seg_odom = odom[s0:s1]
+            self.state, self._last_kf_dev, poses, flags = self._track_seg(
+                self.state, self._last_kf_dev, seg_scans, seg_odom
+            )
+            # the ONE device->host sync of the segment
+            poses_np = np.asarray(poses)
+            flags_np = np.asarray(flags)
+
+            # keyframe-rate graph work (add + loop detect; no optimize yet
+            # so anchors below see the pre-optimize keyframe estimates,
+            # matching the per-scan driver's recording order)
+            for i in np.nonzero(flags_np)[0]:
+                i = int(i)
+                self._ensure_capacity()
+                scan_i = jax.tree.map(lambda a: a[i], seg_scans)
+                pose_i = poses[i]
+                self.graph = self._add_kf(self.graph, pose_i, scan_i)
+                self._n_kf_host += 1
+                self.graph, n_loops = self._detect(self.graph, scan_i, pose_i)
+                nl = int(n_loops)
+                self.pending_loops += nl
+                self.total_loops += nl
+
+            # anchor bookkeeping, fully host-side: each scan anchors to the
+            # latest keyframe at its record time (its own, if flagged)
+            s = s1 - s0
+            cur_idx = max(self._n_kf_host - int(flags_np.sum()) - 1, 0)
+            cur_pose = (
+                self._last_kf_pose_host
+                if self._last_kf_pose_host is not None
+                else np.zeros(3, np.float32)
+            )
+            anchor_idx = np.empty(s, np.int64)
+            anchor_pose = np.empty((s, 3), np.float32)
+            kf_counter = self._n_kf_host - int(flags_np.sum())
+            for i in range(s):
+                if flags_np[i]:
+                    cur_idx = kf_counter
+                    kf_counter += 1
+                    cur_pose = poses_np[i]
+                anchor_idx[i] = cur_idx
+                anchor_pose[i] = cur_pose
+            deltas = _between_np(anchor_pose, poses_np)
+            self._anchors.extend(
+                (int(anchor_idx[i]), deltas[i]) for i in range(s)
+            )
+            self.trajectory.extend(poses_np)
+            self._last_kf_pose_host = cur_pose
+
             if self.pending_loops >= self.cfg.optimize_every_loops:
                 self._close_loops()
                 self.pending_loops = 0
-
-        self.trajectory.append(self.state.pose)
-        kf_idx = max(int(self.graph.last_kf), 0)
-        anchor_pose = self.graph.kf_poses[kf_idx]
-        self._anchors.append(
-            (kf_idx, between(anchor_pose, self.state.pose))
-        )
-        return self.state.pose
-
-    def _should_add_host(self, pose) -> bool:
-        import numpy as np
-
-        if self._last_kf_pose_host is None:
-            return True
-        p = np.asarray(pose)
-        d = p - self._last_kf_pose_host
-        ang = (d[2] + np.pi) % (2 * np.pi) - np.pi
-        dist = float(
-            np.sqrt(d[0] ** 2 + d[1] ** 2
-                    + (self.cfg.graph.keyframe_angle_weight * ang) ** 2)
-        )
-        return dist > self.cfg.graph.keyframe_distance
+        return self.corrected_trajectory()
 
     def _close_loops(self):
         """Optimize the graph, re-anchor the tracker, regenerate the map."""
@@ -185,6 +286,8 @@ class FullSlamEngine:
         import numpy as np
 
         self._last_kf_pose_host = np.asarray(self.graph.kf_poses[last])
+        # keep the device-side gate consistent with the optimized keyframe
+        self._last_kf_dev = jnp.asarray(self._last_kf_pose_host)
 
     def corrected_trajectory(self) -> jax.Array:
         """Trajectory history re-anchored to the CURRENT (optimized)
@@ -195,11 +298,8 @@ class FullSlamEngine:
         deltas = jnp.stack([a[1] for a in self._anchors])
         return compose(self.graph.kf_poses[idx], deltas)
 
-    def run(self, scans: LaserScan, odom):
-        n = odom.shape[0]
-        for i in range(n):
-            self.handle_scan(jax.tree.map(lambda a: a[i], scans), odom[i])
-        return self.corrected_trajectory()
+    def run(self, scans: LaserScan, odom, segment: int = 64):
+        return self.run_segments(scans, odom, segment=segment)
 
     @property
     def keyframe_poses(self):
