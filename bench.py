@@ -120,13 +120,64 @@ def main():
     )
 
     if preset == "gmapping":
-        # the fast single-chip operating point (>=10x target): bf16
-        # overlap scoring + 5 MC rounds + usable-range windows; see
-        # gmapping.fast_config and TPU_BENCH_VARIANTS gmapping_fast_* rows
+        # the fast single-chip operating point (>=10x target): f32 one-hot
+        # overlap scoring + usable-range windows; see gmapping.fast_config
+        # and TPU_BENCH_VARIANTS gmapping_fast_*/gmapping_abl_* rows
         cfg = gmapping.fast_config(n_particles=30, map_size=map_size)
         state = gmapping.init_state(cfg)
         run = lambda s: gmapping.run_sequence(cfg, s, scans, odom)
         metric = "gmapping_scans_per_sec"
+    elif preset == "viny_m3rsm":
+        # vinySLAM with the M3RSM global matcher every scan, windowed level
+        # scoring (BASELINE config coverage: all five presets on chip)
+        cfg = viny.viny_m3rsm_config(map_size=map_size)
+        state = eng.init_state(cfg)
+        run = lambda s: eng.run_sequence(cfg, s, scans, odom)
+        metric = "viny_m3rsm_scans_per_sec"
+    elif preset == "full":
+        # loop-closing pipeline, segmented device-resident tracking (one
+        # host fetch per segment — round-3 task 4); throughput timed over
+        # run_segments so keyframe/loop/optimize work is all included
+        from slam_constructor_tpu.models import full, posegraph as pglib
+        from slam_constructor_tpu.models import tiny as tinylib
+
+        def make_full():
+            e = full.FullSlamEngine(
+                full.FullConfig(
+                    tracking=tinylib.tiny_config(map_size=map_size),
+                    graph=pglib.PoseGraphConfig(
+                        keyframe_distance=0.7, min_index_gap=8,
+                        max_candidates=4, local_map_size=120,
+                    ),
+                ),
+                n_beams=n_beams,
+            )
+            return e
+
+        seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 64))
+        e = make_full()
+        e.run(scans, odom, segment=seg)  # warmup/compile
+        import numpy as np  # noqa: F811
+
+        e2 = make_full()
+        t0 = time.perf_counter()
+        e2.run(scans, odom, segment=seg)
+        np.asarray(e2.state.pose)
+        dt = time.perf_counter() - t0
+        sps = n_scans / dt
+        out = {
+            "metric": "full_scans_per_sec",
+            "value": round(sps, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(sps / 40.0, 2),
+            "backend": f"{backend}:{jax.default_backend()}",
+            "keyframes": int(e2.graph.n_kf),
+            "loops": e2.total_loops,
+        }
+        if probe_attempts > 1 or backend != "device":
+            out["probe_attempts"] = probe_attempts
+        print(json.dumps(out))
+        return
     else:
         mk = viny.viny_config if preset == "viny" else tiny.tiny_config
         cfg = mk(map_size=map_size, scoring_cfg=sc)

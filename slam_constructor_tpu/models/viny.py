@@ -54,3 +54,50 @@ def viny_config(
 
 def make_engine(**kwargs) -> Engine:
     return Engine(viny_config(**kwargs))
+
+
+def viny_m3rsm_config(
+    map_size: int = 256,
+    map_scale: float = 0.1,
+    usable_range: float = 4.0,
+    quality: float = 0.5,
+    hole_width: float = 0.3,
+    levels: int = 4,
+    n_theta: int = 9,
+    beam_width: int = 128,
+    half_xy: float = 0.6,
+    half_theta: float = 0.2,
+    stride: int = 1,
+    use_angle_histogram: bool = True,
+) -> EngineConfig:
+    """vinySLAM + the M3RSM global matcher at the single-chip operating
+    point: usable-range-capped beams (GMapping's maxUrange discipline,
+    shared with gmapping.fast_config) + a prior-centered search window
+    sized so the windowed level scoring is EXACT (M3RSMConfig.window doc).
+    """
+    import math
+
+    from ..ops import m3rsm as m3rsmlib
+
+    step = 1 << levels
+    reach = math.ceil((usable_range + hole_width / 2) / map_scale)
+    need = 2 * (reach + math.ceil(half_xy / map_scale) + step)
+    window = min(-(-need // step) * step, map_size)
+    return EngineConfig(
+        cell_model=cells.TBMCell(quality=quality),
+        matcher="m3rsm",
+        matcher_cfg=m3rsmlib.M3RSMConfig(
+            half_x=half_xy, half_y=half_xy, half_theta=half_theta,
+            n_theta=n_theta, levels=levels, beam_width=beam_width,
+            window=window,
+            scoring=scoring.ScoringConfig(reducer="obstacle", stride=stride),
+        ),
+        beam=raycast.BeamConfig(
+            max_range=usable_range, occupancy_estimator="const",
+            hole_width=hole_width, wall_blur=True, free_impl="auto",
+        ),
+        map_height=map_size,
+        map_width=map_size,
+        map_scale=map_scale,
+        use_angle_histogram=use_angle_histogram,
+    )

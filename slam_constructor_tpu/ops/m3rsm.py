@@ -50,6 +50,14 @@ class M3RSMConfig:
     #: pure relocalization/loop-closure queries may skip it)
     refine_iterations: int = 8
     scoring: ScoringConfig = ScoringConfig()
+    #: prior-centered search window (cells per side, 0 = whole map). Every
+    #: level plane is sliced to this window (2^levels-aligned) before
+    #: scoring, so the one-hot sampling matmuls shrink from [N, H]x[H, W] to
+    #: [N, S]x[S, S]. EXACT (bitwise vs window=0) whenever the window covers
+    #: the scan's reach from anywhere in the search region: S/2 >=
+    #: (max beam range)/scale + half_x/scale + 2^levels. Smaller windows
+    #: clamp samples to unknown_prob exactly like the map edge does.
+    window: int = 0
 
 
 def build_pyramid(view: MapView, levels: int, unknown_prob: float) -> tuple:
@@ -222,6 +230,36 @@ def m3rsm_match(
         # silently mis-match; shapes are static so this check is trace-free
         raise ValueError(
             f"pyramid level 0 shape {pyramid[0].shape} != map {view.occ.shape}"
+        )
+
+    h0, w0 = view.occ.shape
+    step_top = 1 << cfg.levels
+    if cfg.window > 0 and h0 % step_top == 0 and w0 % step_top == 0:
+        # prior-centered search window: slice every level plane (and the
+        # view, for the refine pass) to an aligned S x S region so the
+        # level-scoring matmul operands shrink by (H/S)(W/S). Round-2
+        # verdict #3: the engine searched its small window over the FULL
+        # 256^2 planes, paying full-map sampling cost per level.
+        s = min(cfg.window, h0, w0)
+        s = (s // step_top) * step_top
+        rel = (init_pose[:2] - view.origin) / view.scale
+        c0w = jnp.clip(jnp.floor(rel[0]).astype(jnp.int32) - s // 2, 0, w0 - s)
+        r0w = jnp.clip(jnp.floor(rel[1]).astype(jnp.int32) - s // 2, 0, h0 - s)
+        r0w = (r0w // step_top) * step_top  # stays in [0, h0-s]: both are
+        c0w = (c0w // step_top) * step_top  # step-multiples after align-down
+        sliced, rr, cc, ss = [], r0w, c0w, s
+        for plane in pyramid:
+            sliced.append(jax.lax.dynamic_slice(plane, (rr, cc), (ss, ss)))
+            rr, cc, ss = rr // 2, cc // 2, ss // 2
+        pyramid = tuple(sliced)
+        origin_w = (
+            view.origin + jnp.stack([c0w, r0w]).astype(jnp.float32) * view.scale
+        )
+        view = MapView(
+            occ=jax.lax.dynamic_slice(view.occ, (r0w, c0w), (s, s)),
+            known=jax.lax.dynamic_slice(view.known, (r0w, c0w), (s, s)),
+            origin=origin_w,
+            scale=view.scale,
         )
 
     # rotated endpoint cells at zero translation, for every candidate theta

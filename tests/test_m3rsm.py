@@ -221,3 +221,45 @@ def test_m3rsm_cached_pyramid_equals_rebuild(setup):
     b = m3rsm.m3rsm_match(view, s, init, None, cfg, pyramid=cached)
     np.testing.assert_allclose(np.asarray(a.pose), np.asarray(b.pose))
     np.testing.assert_allclose(np.asarray(a.prob), np.asarray(b.prob))
+
+
+def test_m3rsm_window_equals_full():
+    """A prior-centered search window covering the scan's reach must be
+    EXACT vs searching over the full planes (round-3 M3RSM cost cut): all
+    endpoint samples land inside the window, so every level score — and
+    therefore every top-k selection and the refined pose — is identical."""
+    import dataclasses
+
+    occ, origin, scale = datagen.box_world(6.0, 0.1, obstacles=4, seed=7)
+    bearings = datagen.default_bearings(120)
+    true_pose = jnp.array([0.3, -0.2, 0.15])
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 160, 160, 0.1)
+    gm = raycast.insert_scan(
+        gm, model, true_pose, s, raycast.BeamConfig(wall_blur=True)
+    )
+    view = scoring.MapView.of(gm, model)
+    init = true_pose + jnp.array([0.2, -0.15, 0.1])
+    base = m3rsm.M3RSMConfig(half_x=0.5, half_y=0.5, half_theta=0.2,
+                             n_theta=7, levels=4, beam_width=64)
+    res_full = m3rsm.m3rsm_match(view, s, init, None, base)
+    res_win = m3rsm.m3rsm_match(
+        view, s, init, None, dataclasses.replace(base, window=128)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.pose), np.asarray(res_win.pose)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.prob), np.asarray(res_win.prob)
+    )
+    # off-center prior: the window clamps at the map edge and must still
+    # produce the same answer while the scan stays inside the clamped window
+    init2 = true_pose + jnp.array([-0.4, 0.3, -0.1])
+    res_full2 = m3rsm.m3rsm_match(view, s, init2, None, base)
+    res_win2 = m3rsm.m3rsm_match(
+        view, s, init2, None, dataclasses.replace(base, window=128)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full2.pose), np.asarray(res_win2.pose)
+    )
