@@ -67,6 +67,21 @@ def variants():
     out["imp_g8_rad"] = dataclasses.replace(
         impA, weight_gamma=8.0, resample_threshold=0.5,
         proposal_radius_xy=0.1, proposal_radius_theta=0.05)
+    # --- hill-climbing refine after the MC mode (new RBPF refine knob):
+    # 6 evals x iters on the windowed view; monotone so quality never drops
+    hc = matchers.HillClimbingConfig(
+        step_xy=0.05, step_theta=0.02, iterations=4,
+        scoring=scoring.ScoringConfig(
+            reducer="overlap", window=1, dtype="float32"),
+    )
+    out["mw128_hc"] = dataclasses.replace(
+        base, match_window=128, refine_matcher="hill_climbing", refine_cfg=hc)
+    out["mw128_r4_hc"] = dataclasses.replace(
+        base, match_window=128, matcher_cfg=_mc(20, 4),
+        refine_matcher="hill_climbing", refine_cfg=hc)
+    out["imp_g8_hc"] = dataclasses.replace(
+        impA, weight_gamma=8.0, resample_threshold=0.5,
+        refine_matcher="hill_climbing", refine_cfg=hc)
     return out
 
 

@@ -107,6 +107,12 @@ class GMappingConfig:
     #:            mask+scatter it back (the ops/scoring.py MXU sampling
     #:            pattern; exact — one-hot f32 matmuls are bitwise on TPU).
     insert_impl: str = "slice"
+    #: optional second matcher pass per particle from the primary result
+    #: (engine.EngineConfig.refine_matcher brought to the RBPF: both local
+    #: refiners are monotone — keep-start-unless-better — so composition
+    #: never hurts the match probability). Key into matchers.MATCHERS.
+    refine_matcher: Any = None
+    refine_cfg: Any = None
 
     def __post_init__(self):
         # a typo'd impl string would silently fall back to the slow 'slice'
@@ -227,6 +233,15 @@ def _improved_proposal(view, scan, matched, prior_p, sigma, key, cfg):
     return pose, lse - jnp.log(float(j))
 
 
+def _refine_rbpf(cfg: GMappingConfig, view, scan, res, key):
+    """Optional per-particle refine pass (monotone, like engine._refine)."""
+    if cfg.refine_matcher is None:
+        return res
+    rc_default, rf = matcherslib.MATCHERS[cfg.refine_matcher]
+    rcfg = cfg.refine_cfg if cfg.refine_cfg is not None else rc_default()
+    return rf(view, scan, res.pose, key, rcfg, None)
+
+
 def gmapping_step(
     cfg: GMappingConfig, state: GMappingState, scan: LaserScan, odom_delta: Array
 ) -> GMappingState:
@@ -265,10 +280,12 @@ def gmapping_step(
             if cfg.proposal == "improved":
                 k_m, k_prop = jax.random.split(key_p)
                 res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
+                res = _refine_rbpf(cfg, view, scan, res, k_m)
                 return _improved_proposal(
                     view, scan, res, center_p, sigma, k_prop, cfg
                 )
             res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
+            res = _refine_rbpf(cfg, view, scan, res, key_p)
             return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
         poses, incr = jax.vmap(match_one)(
@@ -322,8 +339,10 @@ def gmapping_step(
         if cfg.proposal == "improved":
             k_m, k_prop = jax.random.split(key_p)
             res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
+            res = _refine_rbpf(cfg, view, scan, res, k_m)
             return _improved_proposal(view, scan, res, center_p, sigma, k_prop, cfg)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
+        res = _refine_rbpf(cfg, view, scan, res, key_p)
         return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
     poses, incr = jax.vmap(match_one)(state.gm, priors, motion_centers, keys)
