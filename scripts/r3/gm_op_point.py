@@ -82,6 +82,17 @@ def variants():
     out["imp_g8_hc"] = dataclasses.replace(
         impA, weight_gamma=8.0, resample_threshold=0.5,
         refine_matcher="hill_climbing", refine_cfg=hc)
+    # --- robust-quality probes on top of base (multiseed showed the 128
+    # match window diverges on 2/5 seeds; base's 160 windows are sound)
+    out["base_hc"] = dataclasses.replace(
+        base, refine_matcher="hill_climbing", refine_cfg=hc)
+    out["base_imp"] = dataclasses.replace(
+        base, proposal="improved", weight_gamma=8.0, resample_threshold=0.5)
+    out["base_s2"] = dataclasses.replace(base, matcher_cfg=_mc(16, 5, stride=2))
+    out["base_r6"] = dataclasses.replace(base, matcher_cfg=_mc(16, 6))
+    out["base_imp_hc"] = dataclasses.replace(
+        base, proposal="improved", weight_gamma=8.0, resample_threshold=0.5,
+        refine_matcher="hill_climbing", refine_cfg=hc)
     return out
 
 

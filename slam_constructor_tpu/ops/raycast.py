@@ -117,6 +117,48 @@ def _scatter_matmul(plane_shape, rows, cols, vals, valid):
     return out
 
 
+def _scatter_matmul_multi(plane_shape, rows, cols, vals, valid):
+    """``_scatter_matmul`` for V value channels at once: one dot_general
+    producing ``f32[H, W, V]`` — the round-3 insert fusion (one MXU pass +
+    one one-hot construction replace V separate scatter dispatches).
+
+    vals: f32[N, V]; valid: bool[N].
+    """
+    h, w = plane_shape
+    rows = rows.ravel()
+    cols = cols.ravel()
+    n, v_n = vals.shape
+    v = jnp.where(valid.ravel()[:, None], vals, 0.0).astype(jnp.float32)
+    ok = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    v = jnp.where(ok[:, None], v, 0.0)
+    chunk = min(_SCATTER_CHUNK, max(512, ((n + 127) // 128) * 128))
+    pad = (-n) % chunk
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad, v_n), v.dtype)])
+    rows = rows.reshape(-1, chunk)
+    cols = cols.reshape(-1, chunk)
+    v = v.reshape(-1, chunk, v_n)
+
+    def body(carry, inp):
+        r, c, vv = inp
+        a = (r[:, None] == jnp.arange(h)[None, :]).astype(jnp.bfloat16)
+        b = (c[:, None] == jnp.arange(w)[None, :]).astype(jnp.bfloat16)
+        bv = (b[:, :, None] * vv[:, None, :].astype(jnp.bfloat16)).reshape(
+            chunk, w * v_n
+        )
+        contrib = jax.lax.dot_general(
+            a, bv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [H, W*V]
+        return carry + contrib.reshape(h, w, v_n), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((h, w, v_n), jnp.float32), (rows, cols, v)
+    )
+    return out
+
+
 def _flat_scatter_add(plane_shape, rows, cols, vals, valid, impl: str = "auto"):
     """Scatter-add ``vals`` (any shape) into an ``f32[H, W]`` image.
 
@@ -331,15 +373,26 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     # refresh (models/engine.py::_refresh_pyramid) relies on
     ep_valid = scan.valid & (scan.ranges <= cfg.max_range)
     endpoints = start + scan.ranges[:, None] * dirs  # [R, 2]
+    # collect every occupied-evidence sample (endpoint/area + blur tail)
+    # into one flat batch: on the MXU path ONE fused dot_general then
+    # accumulates BOTH planes (w, s) in a single pass — round-3 insert
+    # fusion, vs. 3 separate scatter dispatches before
+    occ_r, occ_c, occ_w, occ_s, occ_v = [], [], [], [], []
     if cfg.occupancy_estimator == "area":
         r9, c9, wgt, occ = _endpoint_area_obs(gm, endpoints, ep_valid, cfg.hole_width)
-        w_occ = _flat_scatter_add((h, w), r9, c9, wgt, wgt > 0, cfg.scatter_impl)
-        s_occ = _flat_scatter_add((h, w), r9, c9, wgt * occ, wgt > 0, cfg.scatter_impl)
+        occ_r.append(r9.ravel())
+        occ_c.append(c9.ravel())
+        occ_w.append(wgt.ravel())
+        occ_s.append((wgt * occ).ravel())
+        occ_v.append(wgt.ravel() > 0)
     else:
         eidx = gridlib.world_to_cell(gm, endpoints)
         ones = jnp.ones(eidx.shape[:1])
-        w_occ = _flat_scatter_add((h, w), eidx[..., 0], eidx[..., 1], ones, ep_valid, cfg.scatter_impl)
-        s_occ = w_occ  # occupancy 1.0 at hit cells
+        occ_r.append(eidx[..., 0])
+        occ_c.append(eidx[..., 1])
+        occ_w.append(ones)
+        occ_s.append(ones)  # occupancy 1.0 at hit cells
+        occ_v.append(ep_valid)
 
     if cfg.wall_blur:
         # tinySLAM "hole" trick: triangular occupied evidence centered ON the
@@ -355,10 +408,28 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
         vb = ep_valid[:, None] & (tb > 0)
         # weight AND observed occupancy both taper with the triangle, so the
         # map reads occupancy ~ramp at distance |d| from the wall center
-        wb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp, vb, cfg.scatter_impl)
-        sb = _flat_scatter_add((h, w), ib[..., 0], ib[..., 1], occ_ramp**2, vb, cfg.scatter_impl)
-        w_occ = w_occ + wb
-        s_occ = s_occ + sb
+        occ_r.append(ib[..., 0].ravel())
+        occ_c.append(ib[..., 1].ravel())
+        occ_w.append(occ_ramp.ravel())
+        occ_s.append((occ_ramp**2).ravel())
+        occ_v.append(vb.ravel())
+
+    rows_a = jnp.concatenate(occ_r)
+    cols_a = jnp.concatenate(occ_c)
+    w_a = jnp.concatenate(occ_w)
+    s_a = jnp.concatenate(occ_s)
+    v_a = jnp.concatenate(occ_v)
+    use_matmul = cfg.scatter_impl == "matmul" or (
+        cfg.scatter_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_matmul:
+        planes = _scatter_matmul_multi(
+            (h, w), rows_a, cols_a, jnp.stack([w_a, s_a], axis=-1), v_a
+        )
+        w_occ, s_occ = planes[..., 0], planes[..., 1]
+    else:
+        w_occ = _flat_scatter_add((h, w), rows_a, cols_a, w_a, v_a, "scatter")
+        s_occ = _flat_scatter_add((h, w), rows_a, cols_a, s_a, v_a, "scatter")
 
     return w_free + w_occ, s_occ
 
