@@ -93,6 +93,12 @@ def variants():
     out["base_imp_hc"] = dataclasses.replace(
         base, proposal="improved", weight_gamma=8.0, resample_threshold=0.5,
         refine_matcher="hill_climbing", refine_cfg=hc)
+    # reference GMapping minimumScore gate: failed matches keep the
+    # odometry prior instead of dragging the particle
+    out["base_g55"] = dataclasses.replace(base, min_match_prob=0.55)
+    out["base_g65"] = dataclasses.replace(base, min_match_prob=0.65)
+    out["base_s2_g55"] = dataclasses.replace(
+        base, matcher_cfg=_mc(16, 5, stride=2), min_match_prob=0.55)
     return out
 
 

@@ -111,8 +111,16 @@ class GMappingConfig:
     #: (engine.EngineConfig.refine_matcher brought to the RBPF: both local
     #: refiners are monotone — keep-start-unless-better — so composition
     #: never hurts the match probability). Key into matchers.MATCHERS.
+    #: CAUTION (measured, multiseed r3): refining EVERY particle onto the
+    #: score mode collapses proposal diversity and degrades the filter
+    #: (winner ATE 0.16 -> 1.44); useful for single-hypothesis work only.
     refine_matcher: Any = None
     refine_cfg: Any = None
+    #: reference GMapping's ``minimumScore`` gate: when the matched score
+    #: falls below this, distrust the matcher for that particle — keep its
+    #: odometry-proposal pose and weight it by the score AT that pose
+    #: (a failed match must not drag the particle; 0 disables)
+    min_match_prob: float = 0.0
 
     def __post_init__(self):
         # a typo'd impl string would silently fall back to the slow 'slice'
@@ -233,6 +241,22 @@ def _improved_proposal(view, scan, matched, prior_p, sigma, key, cfg):
     return pose, lse - jnp.log(float(j))
 
 
+def _gate_match(cfg: GMappingConfig, view, scan, res, prior_p):
+    """Reference GMapping's minimumScore: a match scoring below the gate is
+    distrusted — the particle keeps its odometry-proposal pose, weighted by
+    the score at THAT pose (one extra score eval, gate-rate independent)."""
+    if cfg.min_match_prob <= 0:
+        return res
+    p_prior = scoring.score_poses(
+        view, scan, prior_p[None], cfg.matcher_cfg.scoring
+    )[0]
+    use = res.prob >= cfg.min_match_prob
+    return res.replace(
+        pose=jnp.where(use, res.pose, prior_p),
+        prob=jnp.where(use, res.prob, p_prior),
+    )
+
+
 def _refine_rbpf(cfg: GMappingConfig, view, scan, res, key):
     """Optional per-particle refine pass (monotone, like engine._refine)."""
     if cfg.refine_matcher is None:
@@ -281,11 +305,13 @@ def gmapping_step(
                 k_m, k_prop = jax.random.split(key_p)
                 res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
                 res = _refine_rbpf(cfg, view, scan, res, k_m)
+                res = _gate_match(cfg, view, scan, res, prior_p)
                 return _improved_proposal(
                     view, scan, res, center_p, sigma, k_prop, cfg
                 )
             res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
             res = _refine_rbpf(cfg, view, scan, res, key_p)
+            res = _gate_match(cfg, view, scan, res, prior_p)
             return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
         poses, incr = jax.vmap(match_one)(
@@ -340,9 +366,11 @@ def gmapping_step(
             k_m, k_prop = jax.random.split(key_p)
             res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
             res = _refine_rbpf(cfg, view, scan, res, k_m)
+            res = _gate_match(cfg, view, scan, res, prior_p)
             return _improved_proposal(view, scan, res, center_p, sigma, k_prop, cfg)
         res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
         res = _refine_rbpf(cfg, view, scan, res, key_p)
+        res = _gate_match(cfg, view, scan, res, prior_p)
         return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
 
     poses, incr = jax.vmap(match_one)(state.gm, priors, motion_centers, keys)
