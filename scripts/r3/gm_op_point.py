@@ -99,6 +99,15 @@ def variants():
     out["base_g65"] = dataclasses.replace(base, min_match_prob=0.65)
     out["base_s2_g55"] = dataclasses.replace(
         base, matcher_cfg=_mc(16, 5, stride=2), min_match_prob=0.55)
+    # quality levers not yet multiseeded: usable range 8 (r2 single-seed
+    # said 0.38 — knife-edge suspect), lazier resampling, more particles,
+    # wider proposal spread
+    out["r8"] = gmapping.fast_config(
+        n_particles=30, map_size=256, usable_range=8.0)
+    out["base_rs03"] = dataclasses.replace(base, resample_threshold=0.3)
+    out["base_n40"] = dataclasses.replace(base, n_particles=40)
+    out["base_nz15"] = dataclasses.replace(
+        base, noise_xy=0.045, noise_theta=0.022)
     return out
 
 

@@ -141,6 +141,12 @@ class FullSlamEngine:
         #: host mirrors for anchor bookkeeping (no per-scan device sync)
         self._last_kf_pose_host = None
         self._n_kf_host = 0
+        #: host upper bound on graph edges (worst case per event) so
+        #: _ensure_capacity never reads device counters (a ~30 ms tunnel
+        #: sync per keyframe); the conservative bound can only grow EARLY
+        self._edges_upper_host = 0
+        #: loop detections accumulate on device; fetched once per segment
+        self._loops_dev = jnp.int32(0)
         self._rejit()
 
     def _rejit(self):
@@ -165,10 +171,11 @@ class FullSlamEngine:
         would previously be dropped and the regenerated map frozen)."""
         g = self.cfg.graph
         # worst case per keyframe: 1 odometric edge + max_candidates loop
-        # edges + densify passes of max_candidates each
+        # edges + densify passes of max_candidates each. Host-side upper
+        # bounds only — device counter reads would sync per keyframe.
         edge_budget = 1 + g.max_candidates * (1 + self.cfg.densify_rounds)
-        need_kf = int(self.graph.n_kf) + 1 > g.max_keyframes
-        need_edges = int(self.graph.n_edges) + edge_budget > g.max_edges
+        need_kf = self._n_kf_host + 1 > g.max_keyframes
+        need_edges = self._edges_upper_host + edge_budget > g.max_edges
         if not (need_kf or need_edges):
             return
         new_cfg, self.graph = pg.grow(
@@ -206,7 +213,9 @@ class FullSlamEngine:
 
             # keyframe-rate graph work (add + loop detect; no optimize yet
             # so anchors below see the pre-optimize keyframe estimates,
-            # matching the per-scan driver's recording order)
+            # matching the per-scan driver's recording order). All calls
+            # here are ASYNC dispatches — the loop count accumulates on
+            # device and is fetched ONCE at segment end.
             for i in np.nonzero(flags_np)[0]:
                 i = int(i)
                 self._ensure_capacity()
@@ -214,8 +223,12 @@ class FullSlamEngine:
                 pose_i = poses[i]
                 self.graph = self._add_kf(self.graph, pose_i, scan_i)
                 self._n_kf_host += 1
+                self._edges_upper_host += 1 + self.cfg.graph.max_candidates
                 self.graph, n_loops = self._detect(self.graph, scan_i, pose_i)
-                nl = int(n_loops)
+                self._loops_dev = self._loops_dev + n_loops
+            if flags_np.any():
+                nl = int(self._loops_dev)  # one sync per segment
+                self._loops_dev = jnp.int32(0)
                 self.pending_loops += nl
                 self.total_loops += nl
 
@@ -257,6 +270,7 @@ class FullSlamEngine:
         for _ in range(self.cfg.densify_rounds):
             self.graph, n_new = self._densify(self.graph)
             self.total_loops += int(n_new)
+            self._edges_upper_host += int(n_new)
             if int(n_new) == 0:
                 break
         self.graph = self._optimize(self.graph)
