@@ -105,6 +105,10 @@ class FullConfig:
     #: leave-one-out occupancy consensus (``posegraph.joint_refine``;
     #: 0 disables — it costs ~K map rasterizations per round)
     joint_refine_rounds: int = 0
+    #: keyframes processed per jitted add+detect dispatch (the axon tunnel
+    #: costs ~30 ms PER CALL, so keyframe work is batched — see
+    #: posegraph.process_keyframes)
+    kf_batch: int = 8
 
     def __post_init__(self):
         if self.tracking is None:
@@ -156,6 +160,17 @@ class FullSlamEngine:
         model = t.cell_model
         self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
         self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
+
+        def kf_batch_fn(graph, loops_acc, seg_scans, seg_poses, idx, valid):
+            # gather + add + detect + loop-count accumulate in ONE dispatch
+            scans_k = jax.tree.map(lambda a: a[idx], seg_scans)
+            poses_k = seg_poses[idx]
+            graph, nl = pg.process_keyframes(
+                self.cfg.graph, model, graph, scans_k, poses_k, valid
+            )
+            return graph, loops_acc + nl
+
+        self._kf_batch = jax.jit(kf_batch_fn)
         self._densify = jax.jit(partial(pg.densify_loops, self.cfg.graph, model))
         self._optimize = jax.jit(partial(pg.optimize, self.cfg.graph))
         self._regen = jax.jit(
@@ -164,7 +179,7 @@ class FullSlamEngine:
             )
         )
 
-    def _ensure_capacity(self):
+    def _ensure_capacity(self, n_new: int = 1):
         """Grow the graph (2x) BEFORE an add would saturate — the host-side
         re-shard event mirroring blockmap's contract, so long runs never
         silently stop building the graph (keyframes past the old capacity
@@ -173,8 +188,10 @@ class FullSlamEngine:
         # worst case per keyframe: 1 odometric edge + max_candidates loop
         # edges + densify passes of max_candidates each. Host-side upper
         # bounds only — device counter reads would sync per keyframe.
-        edge_budget = 1 + g.max_candidates * (1 + self.cfg.densify_rounds)
-        need_kf = self._n_kf_host + 1 > g.max_keyframes
+        edge_budget = n_new * (
+            1 + g.max_candidates * (1 + self.cfg.densify_rounds)
+        )
+        need_kf = self._n_kf_host + n_new > g.max_keyframes
         need_edges = self._edges_upper_host + edge_budget > g.max_edges
         if not (need_kf or need_edges):
             return
@@ -213,21 +230,27 @@ class FullSlamEngine:
 
             # keyframe-rate graph work (add + loop detect; no optimize yet
             # so anchors below see the pre-optimize keyframe estimates,
-            # matching the per-scan driver's recording order). All calls
-            # here are ASYNC dispatches — the loop count accumulates on
-            # device and is fetched ONCE at segment end.
-            for i in np.nonzero(flags_np)[0]:
-                i = int(i)
-                self._ensure_capacity()
-                scan_i = jax.tree.map(lambda a: a[i], seg_scans)
-                pose_i = poses[i]
-                self.graph = self._add_kf(self.graph, pose_i, scan_i)
-                self._n_kf_host += 1
-                self._edges_upper_host += 1 + self.cfg.graph.max_candidates
-                self.graph, n_loops = self._detect(self.graph, scan_i, pose_i)
-                self._loops_dev = self._loops_dev + n_loops
-            if flags_np.any():
-                nl = int(self._loops_dev)  # one sync per segment
+            # matching the per-scan driver's recording order). Batched:
+            # ONE jitted dispatch per kf_batch keyframes, ONE loop-count
+            # sync per segment — the tunnel charges ~30 ms per call.
+            kf_is = np.nonzero(flags_np)[0]
+            kb = self.cfg.kf_batch
+            for c0 in range(0, len(kf_is), kb):
+                chunk = kf_is[c0:c0 + kb]
+                self._ensure_capacity(len(chunk))
+                idx = jnp.asarray(
+                    np.pad(chunk, (0, kb - len(chunk))), jnp.int32
+                )
+                valid = jnp.asarray(np.arange(kb) < len(chunk))
+                self.graph, self._loops_dev = self._kf_batch(
+                    self.graph, self._loops_dev, seg_scans, poses, idx, valid
+                )
+                self._n_kf_host += len(chunk)
+                self._edges_upper_host += (
+                    (1 + self.cfg.graph.max_candidates) * len(chunk)
+                )
+            if len(kf_is):
+                nl = int(self._loops_dev)  # the segment's ONE loop sync
                 self._loops_dev = jnp.int32(0)
                 self.pending_loops += nl
                 self.total_loops += nl

@@ -212,6 +212,37 @@ def add_keyframe(
     return new.replace(last_kf=jnp.where(full, st.last_kf, k))
 
 
+def process_keyframes(
+    cfg: PoseGraphConfig,
+    model,
+    st: PoseGraphState,
+    scans: LaserScan,  # stacked [K, R] (padded)
+    poses: Array,  # f32[K, 3]
+    valid: Array,  # bool[K] — padding mask
+):
+    """Add + loop-detect a BATCH of keyframes in one jitted dispatch.
+
+    The axon tunnel costs ~30 ms per dispatched call whether or not the
+    host waits, so the segmented full pipeline must not dispatch add/detect
+    per keyframe (measured: full preset capped at ~47 scans/s). One
+    ``lax.scan`` over a fixed-width keyframe batch keeps the sequential
+    semantics (keyframe i's detection sees keyframes 0..i) at one
+    dispatch per segment. Returns ``(graph, total_new_loops)``.
+    """
+
+    def body(g, inp):
+        scan_i, pose_i, v = inp
+
+        def do(g_):
+            g2 = add_keyframe(cfg, g_, pose_i, scan_i)
+            return detect_loops(cfg, model, g2, scan_i, pose_i)
+
+        return jax.lax.cond(v, do, lambda g_: (g_, jnp.int32(0)), g)
+
+    st, nls = jax.lax.scan(body, st, (scans, poses, valid))
+    return st, nls.sum()
+
+
 # --- loop closure -----------------------------------------------------------
 
 
