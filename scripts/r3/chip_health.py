@@ -3,7 +3,7 @@
 The axon chip's delivered throughput varies >2x across hours; every speed
 capture batch is tagged with this reference so slow-window captures are
 recognizable (r2's SOL capture assumed a healthy chip). Appends to
-TPU_MEASURES.jsonl as name=chip_health/matmul4k.
+TPU_MEASURES.jsonl as name=chip_health/matmul2k.
 """
 import json
 import os
@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 def main():
     k = jax.random.PRNGKey(0)
-    a = jax.random.normal(k, (4096, 4096), jnp.bfloat16)
+    a = jax.random.normal(k, (2048, 2048), jnp.bfloat16)
 
     @jax.jit
     def loop(c):
@@ -28,7 +28,7 @@ def main():
         out, _ = jax.lax.scan(body, c, None, length=16)
         return out[0, 0]
 
-    x0 = jnp.ones((4096, 4096), jnp.bfloat16)
+    x0 = jnp.ones((2048, 2048), jnp.bfloat16)
     float(np.asarray(loop(x0)))
     ts = []
     for _ in range(3):
@@ -36,8 +36,8 @@ def main():
         float(np.asarray(loop(x0)))
         ts.append((time.perf_counter() - t0) / 16)
     ms = float(np.median(ts)) * 1e3
-    tflops = 2 * 4096**3 / (ms / 1e3) / 1e12
-    row = {"name": "chip_health/matmul4k", "ms": round(ms, 4),
+    tflops = 2 * 2048**3 / (ms / 1e3) / 1e12
+    row = {"name": "chip_health/matmul2k", "ms": round(ms, 4),
            "tflops": round(tflops, 1), "ts": time.time(),
            "backend": jax.default_backend()}
     print(json.dumps(row), flush=True)
