@@ -39,7 +39,7 @@ def main():
     occ, origin, scale = datagen.cecum_world()
     lap = datagen.rectangle_trajectory(step=0.3)
     poses = jnp.tile(lap, (2, 1))
-    bearings = datagen.default_bearings(120)
+    bearings = datagen.default_bearings(int(os.environ.get("BEAMS", 120)))
     for name in which:
         cfg = vs[name]
         onls, wins = [], []
@@ -55,7 +55,8 @@ def main():
             win = gmapping.winner_trajectory(
                 all_poses, anc, gmapping.best_particle(stf))
             wins.append(float(evaluate.ate(win, gt, align=False)))
-        emit({"metric": "gmapping_ate_multiseed", "tag": f"gmapping_ms_{name}",
+        emit({"metric": "gmapping_ate_multiseed",
+              "tag": f"gmapping_ms_{name}" + ("" if os.environ.get("BEAMS", "120") == "120" else f"_b{os.environ['BEAMS']}"),
               "seeds": SEEDS,
               "winner_ate_mean": round(float(np.mean(wins)), 4),
               "winner_ate_max": round(float(np.max(wins)), 4),
