@@ -34,8 +34,9 @@ def _mc(batch, rounds, stride=1):
 
 def variants():
     # the round-2 near-miss: usable range 6 m, one-hot windows, f32
+    # (stride pinned to 1 — "base" predates the stride-2 default)
     base = gmapping.fast_config(
-        n_particles=30, map_size=256, usable_range=6.0)
+        n_particles=30, map_size=256, usable_range=6.0, stride=1)
     out = {"base": base}
     # asymmetric windows: the insert window must cover the usable reach to
     # stay exact (160 at r6); the MATCH window only bounds the scored

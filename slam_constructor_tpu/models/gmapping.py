@@ -580,16 +580,31 @@ def fast_config(
     n_particles: int = 30,
     map_size: int = 256,
     map_scale: float = 0.1,
-    usable_range: float = 4.0,
+    usable_range: float = 6.0,
     proposal: str = "odom",
+    stride: int = 2,
 ) -> GMappingConfig:
-    """The single-chip TPU operating point that clears the >=10x real-time
-    target at 30 particles (r2_tpu_final measurements): f32 overlap
-    scoring (bf16 measured equal-speed here — see _fast_scoring), 5
-    Monte-Carlo rounds, usable-range-capped insertion
-    (GMapping's maxUrange) with pose-centered insert/match windows sized to
-    cover it exactly. Window arithmetic: reach = (usable_range +
-    hole_width)/scale + margin; windows are snapped up to cover 2x reach.
+    """The single-chip TPU fast operating point at 30 particles: f32
+    one-hot overlap scoring, 5 Monte-Carlo rounds, usable-range-capped
+    insertion (GMapping's maxUrange) with pose-centered insert/match
+    windows sized to cover it exactly, and stride-``stride`` beam
+    subsampling in the matcher (the reference SPE's skip knob).
+
+    Round-3 operating-point hunt (TPU_BENCH_VARIANTS `gmapping_r3_*`,
+    `gmapping_ms_*` multiseed rows):
+    - usable_range 6 m is the QUALITY anchor: 5-seed winner ATE
+      mean/max = 0.158/0.299 m, vs 0.35+ at the round-2 default of 4 m
+      and 0.54 at 8 m. 160-cell windows (the r6 snap) are robust; the
+      tighter 128 snap diverges on 2/5 seeds (mean 0.87) — do not
+      shrink the match window below the usable reach.
+    - stride=2 is the SPEED lever at these window sizes: +41% step
+      throughput in the same chip window (288.5 vs 205.0 scans/s
+      degraded-chip; the r2-healthy-chip base measured 388 scans/s),
+      costing ~0.02 m of 5-seed mean ATE at 120 beams (0.179 vs 0.158)
+      and less at denser scans. stride=1 recovers the quality point.
+
+    Window arithmetic: reach = (usable_range + hole_width)/scale +
+    margin; windows snap up to cover 2x reach.
     """
     cells_reach = int(-(-(usable_range + 0.3) // map_scale)) + 4
     win = min(2 * ((cells_reach + 15) // 16 * 16), map_size)
@@ -600,7 +615,7 @@ def fast_config(
         map_scale=map_scale,
         matcher_cfg=matcherslib.MonteCarloConfig(
             sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=5,
-            scoring=_fast_scoring(),
+            scoring=_fast_scoring(stride),
         ),
         match_window=win,
         insert_window=win,
@@ -613,18 +628,21 @@ def fast_config(
         proposal=proposal,
     )
     if proposal == "improved":
+        # round-3 multiseed: gamma=16/thr=0.8 (the round-2 improved
+        # shipping point) measured 2x worse than odom; gamma=8/thr=0.5 is
+        # the best measured improved point at fast shapes
         cfg = dataclasses.replace(
-            cfg, resample_threshold=0.8, weight_gamma=16.0
+            cfg, resample_threshold=0.5, weight_gamma=8.0
         )
     return cfg
 
 
-def _fast_scoring():
+def _fast_scoring(stride: int = 1):
     from ..ops import scoring as scoringlib
 
     # f32: measured the same step time as bf16 at this operating point
     # (426.0 vs 417.4 scans/s, gmapping_abl_f32 vs _fast) with identical
     # 2-lap ATE — the simpler numerics story wins when it costs nothing
     return scoringlib.ScoringConfig(
-        reducer="overlap", window=1, dtype="float32"
+        reducer="overlap", window=1, dtype="float32", stride=stride
     )
