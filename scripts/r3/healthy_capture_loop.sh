@@ -1,0 +1,35 @@
+#!/bin/bash
+# Health-gated capture loop: probe the chip every SLEEP seconds; when the
+# delivered bf16 throughput crosses THRESH TFLOPs, run the full round-3
+# capture batch (bench rows for all five presets + gm operating points +
+# SOL). The axon chip swings from ~1.6 to (r2-era) ~100+ TFLOPs delivered;
+# official numbers must come from a healthy window.
+cd "$(dirname "$0")/../.."
+N=${N:-20}
+SLEEP=${SLEEP:-900}
+THRESH=${THRESH:-30}
+for i in $(seq 1 "$N"); do
+  echo "=== probe $i/$N $(date) ==="
+  H=$(timeout 900 python scripts/r3/chip_health.py 2>/dev/null | \
+      python3 -c "import sys,json
+for line in sys.stdin:
+    line=line.strip()
+    if line.startswith('{'):
+        print(json.loads(line).get('tflops',0)); break
+else: print(0)")
+  echo "health: ${H} tflops"
+  if python3 -c "import sys; sys.exit(0 if float('${H:-0}') >= ${THRESH} else 1)"; then
+    echo "HEALTHY WINDOW — capturing $(date)"
+    timeout 1200 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=tiny python bench.py
+    timeout 1200 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=viny python bench.py
+    timeout 1200 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=viny_m3rsm python bench.py
+    timeout 1200 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=gmapping python bench.py
+    timeout 1800 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=full python bench.py
+    timeout 1800 env ABL=base,base_s2 MODE=speed python scripts/r3/gm_op_point.py
+    timeout 2400 python scripts/r3/sol_capture.py
+    echo "CAPTURE COMPLETE $(date)"
+    exit 0
+  fi
+  sleep "$SLEEP"
+done
+echo "no healthy window found in $N probes"
