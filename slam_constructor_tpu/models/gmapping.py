@@ -630,7 +630,20 @@ def fast_config(
     if proposal == "improved":
         # round-3 multiseed: gamma=16/thr=0.8 (the round-2 improved
         # shipping point) measured 2x worse than odom; gamma=8/thr=0.5 is
-        # the best measured improved point at fast shapes
+        # the best measured improved point at fast shapes — and still
+        # loses to 'odom' (5-seed winner ATE mean 0.40 vs 0.16; DESIGN
+        # §9b). The knob stays (the improved proposal WINS at the
+        # default/quality shapes under high odometry noise, DESIGN §9),
+        # but at fast shapes you are opting into measured-worse quality.
+        import warnings
+
+        warnings.warn(
+            "fast_config(proposal='improved') measured WORSE than 'odom' "
+            "at the fast operating point (5-seed winner ATE 0.40 vs 0.16, "
+            "TPU_BENCH_VARIANTS gmapping_ms_base_imp vs _base; DESIGN "
+            "§9b). Use proposal='odom' unless odometry noise is far above "
+            "the bench's.", stacklevel=2,
+        )
         cfg = dataclasses.replace(
             cfg, resample_threshold=0.5, weight_gamma=8.0
         )
