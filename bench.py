@@ -51,6 +51,60 @@ def _tpu_probe_once(timeout_s: float = 90.0) -> bool:
         return False
 
 
+def _chip_tflops(timeout_s: float = 180.0) -> float:
+    """Delivered bf16 TFLOPs of a fixed 2048^2 matmul chain (subprocess so
+    a hung chip can't take the bench down). The session chip swings from
+    ~1.6 to 100+ delivered TFLOPs across hours; the official capture
+    should not silently record a 0.4%-of-peak window as the framework's
+    throughput."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp, time;"
+        "a=jax.random.normal(jax.random.PRNGKey(0),(2048,2048),jnp.bfloat16);"
+        "f=jax.jit(lambda c: jax.lax.scan(lambda x,_: (jnp.tanh(x@a),None),"
+        "c,None,length=16)[0][0,0]);"
+        "x=jnp.ones((2048,2048),jnp.bfloat16);"
+        "float(np.asarray(f(x)));"
+        "t=time.perf_counter(); float(np.asarray(f(x)));"
+        "ms=(time.perf_counter()-t)/16*1e3;"
+        "print('TFLOPS', round(2*2048**3/(ms/1e3)/1e12, 1))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        if r.returncode == 0 and "TFLOPS" in r.stdout:
+            return float(r.stdout.rsplit("TFLOPS", 1)[1].split()[0])
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        pass
+    return 0.0
+
+
+def _wait_for_healthy_chip() -> float:
+    """Wait (bounded) for the chip to deliver at least
+    SLAM_BENCH_MIN_TFLOPS (default 20) before the official capture; returns
+    the last observed TFLOPs either way."""
+    import sys
+    import time as _time
+
+    min_tflops = float(os.environ.get("SLAM_BENCH_MIN_TFLOPS", 20))
+    window = float(os.environ.get("SLAM_BENCH_HEALTH_WINDOW", 900))
+    interval = float(os.environ.get("SLAM_BENCH_PROBE_INTERVAL", 60))
+    deadline = _time.monotonic() + window
+    t = _chip_tflops()
+    while t < min_tflops and _time.monotonic() < deadline:
+        print(
+            f"bench: chip delivering {t} TFLOPs (< {min_tflops}); waiting "
+            f"for a healthy window", file=sys.stderr,
+        )
+        _time.sleep(interval)
+        t = _chip_tflops()
+    return t
+
+
 def _tpu_responsive() -> tuple[bool, int]:
     """Retry the probe across a window instead of giving up on one shot.
 
@@ -89,6 +143,7 @@ def main():
 
     backend = "device"
     probe_attempts = 0
+    chip_tflops = None
     if not os.environ.get("SLAM_BENCH_NO_PROBE"):
         up, probe_attempts = _tpu_responsive()
         if not up:
@@ -96,6 +151,8 @@ def main():
             # fall back to CPU rather than hang, and say so loudly
             jax.config.update("jax_platforms", "cpu")
             backend = "cpu-fallback"
+        else:
+            chip_tflops = _wait_for_healthy_chip()
 
     from slam_constructor_tpu.models import engine as eng
     from slam_constructor_tpu.models import gmapping, tiny, viny
@@ -176,6 +233,8 @@ def main():
         }
         if probe_attempts > 1 or backend != "device":
             out["probe_attempts"] = probe_attempts
+        if chip_tflops is not None:
+            out["chip_tflops_bf16"] = chip_tflops
         print(json.dumps(out))
         return
     else:
@@ -215,6 +274,8 @@ def main():
     }
     if probe_attempts > 1 or backend != "device":
         out["probe_attempts"] = probe_attempts
+    if chip_tflops is not None:
+        out["chip_tflops_bf16"] = chip_tflops
     print(json.dumps(out))
 
 
