@@ -287,3 +287,48 @@ def test_full_engine_grows_past_keyframe_capacity():
     # keyframes keep following the trajectory after growth
     kfs = np.asarray(e.keyframe_poses)
     assert np.ptp(kfs[:, 0]) > 5.0  # spans the loop, not frozen early
+
+
+def test_process_keyframes_matches_sequential():
+    """Batched add+detect (one dispatch per segment, round-3 full-pipeline
+    fix) must equal the sequential add_keyframe/detect_loops loop — graph
+    arrays bitwise, including padding behavior."""
+    from slam_constructor_tpu.ops import raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(48)
+    model = cells.BayesAvgCell()
+    cfg = pg.PoseGraphConfig(
+        max_keyframes=16, max_edges=32, keyframe_distance=0.3,
+        min_index_gap=2, loop_radius=3.0, max_candidates=2,
+        local_map_size=64,
+    )
+    poses = [jnp.array([0.35 * i - 1.0, -1.5, 0.0]) for i in range(5)]
+    scans = [raycast.cast_rays(occ, origin, scale, p, bearings) for p in poses]
+
+    seq = pg.init_state(cfg, 48)
+    total_seq = 0
+    for p, s in zip(poses, scans):
+        seq = pg.add_keyframe(cfg, seq, p, s)
+        seq, nl = pg.detect_loops(cfg, model, seq, s, p)
+        total_seq += int(nl)
+
+    bat = pg.init_state(cfg, 48)
+    kmax = 8  # padded batch wider than the actual 5 keyframes
+    scans_b = jax.tree.map(
+        lambda *xs: jnp.stack(list(xs) + [xs[0]] * (kmax - len(xs))), *scans
+    )
+    poses_b = jnp.stack(poses + [poses[0]] * (kmax - len(poses)))
+    valid = jnp.arange(kmax) < len(poses)
+    bat, nl_b = jax.jit(
+        lambda st, sc, po, v: pg.process_keyframes(cfg, model, st, sc, po, v)
+    )(bat, scans_b, poses_b, valid)
+
+    assert int(nl_b) == total_seq
+    for name in ("kf_poses", "edge_i", "edge_j", "edge_delta", "edge_info",
+                 "n_kf", "n_edges", "last_kf"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(bat, name)), np.asarray(getattr(seq, name)),
+            err_msg=name,
+        )
