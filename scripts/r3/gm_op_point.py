@@ -104,7 +104,15 @@ def variants():
     # said 0.38 — knife-edge suspect), lazier resampling, more particles,
     # wider proposal spread
     out["r8"] = gmapping.fast_config(
-        n_particles=30, map_size=256, usable_range=8.0)
+        n_particles=30, map_size=256, usable_range=8.0, stride=1)
+    # spend part of stride-2's +41% headroom on search quality
+    out["s2_b20"] = dataclasses.replace(base, matcher_cfg=_mc(20, 5, stride=2))
+    out["s2_b24"] = dataclasses.replace(base, matcher_cfg=_mc(24, 5, stride=2))
+    out["s2_g12"] = dataclasses.replace(
+        base, matcher_cfg=_mc(16, 5, stride=2), weight_gamma=12.0)
+    out["s2_sig06"] = dataclasses.replace(
+        base, matcher_cfg=dataclasses.replace(
+            _mc(16, 5, stride=2), sigma_xy=0.06, sigma_theta=0.03))
     out["base_rs03"] = dataclasses.replace(base, resample_threshold=0.3)
     out["base_n40"] = dataclasses.replace(base, n_particles=40)
     out["base_nz15"] = dataclasses.replace(
