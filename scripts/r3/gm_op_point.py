@@ -113,6 +113,15 @@ def variants():
     out["s2_sig06"] = dataclasses.replace(
         base, matcher_cfg=dataclasses.replace(
             _mc(16, 5, stride=2), sigma_xy=0.06, sigma_theta=0.03))
+    out["s2_sig05"] = dataclasses.replace(
+        base, matcher_cfg=dataclasses.replace(
+            _mc(16, 5, stride=2), sigma_xy=0.05, sigma_theta=0.025))
+    out["s2_sig07"] = dataclasses.replace(
+        base, matcher_cfg=dataclasses.replace(
+            _mc(16, 5, stride=2), sigma_xy=0.07, sigma_theta=0.035))
+    out["s2_sig06_b20"] = dataclasses.replace(
+        base, matcher_cfg=dataclasses.replace(
+            _mc(20, 5, stride=2), sigma_xy=0.06, sigma_theta=0.03))
     out["base_rs03"] = dataclasses.replace(base, resample_threshold=0.3)
     out["base_n40"] = dataclasses.replace(base, n_particles=40)
     out["base_nz15"] = dataclasses.replace(
