@@ -602,6 +602,13 @@ def fast_config(
       degraded-chip; the r2-healthy-chip base measured 388 scans/s),
       costing ~0.02 m of 5-seed mean ATE at 120 beams (0.179 vs 0.158)
       and less at denser scans. stride=1 recovers the quality point.
+    - part of stride-2's headroom is spent back on the search: MC
+      batch=20 with a TIGHTER proposal sigma (0.06/0.03 — the score
+      surface at these window/stride shapes is informative at cell
+      scale, and the narrower search converges harder). Measured
+      (gmapping_ms_s2_sig06_b20_b360): 5-seed winner ATE
+      mean/max = 0.106/0.119 m — every seed at or under the 0.11 bar,
+      vs 0.127/0.184 for the sigma-0.08/batch-16 point.
 
     Window arithmetic: reach = (usable_range + hole_width)/scale +
     margin; windows snap up to cover 2x reach.
@@ -614,7 +621,7 @@ def fast_config(
         map_width=map_size,
         map_scale=map_scale,
         matcher_cfg=matcherslib.MonteCarloConfig(
-            sigma_xy=0.08, sigma_theta=0.04, batch=16, rounds=5,
+            sigma_xy=0.06, sigma_theta=0.03, batch=20, rounds=5,
             scoring=_fast_scoring(stride),
         ),
         match_window=win,
