@@ -119,6 +119,7 @@ def variants():
     out["s2_sig07"] = dataclasses.replace(
         base, matcher_cfg=dataclasses.replace(
             _mc(16, 5, stride=2), sigma_xy=0.07, sigma_theta=0.035))
+    out["ship"] = gmapping.fast_config(n_particles=30, map_size=256)
     out["s2_sig06_b20"] = dataclasses.replace(
         base, matcher_cfg=dataclasses.replace(
             _mc(20, 5, stride=2), sigma_xy=0.06, sigma_theta=0.03))
