@@ -42,7 +42,7 @@ def main():
     bearings = datagen.default_bearings(int(os.environ.get("BEAMS", 120)))
     for name in which:
         cfg = vs[name]
-        onls, wins = [], []
+        onls, wins, wmeans = [], [], []
         for seed in SEEDS:
             scans, odom, gt = datagen.synth_sequence(
                 occ, origin, scale, poses, bearings, jax.random.PRNGKey(seed),
@@ -55,12 +55,18 @@ def main():
             win = gmapping.winner_trajectory(
                 all_poses, anc, gmapping.best_particle(stf))
             wins.append(float(evaluate.ate(win, gt, align=False)))
+            wm = gmapping.weighted_mean_trajectory(
+                all_poses, anc, stf.log_weights)
+            wmeans.append(float(evaluate.ate(wm, gt, align=False)))
         emit({"metric": "gmapping_ate_multiseed",
               "tag": f"gmapping_ms_{name}" + ("" if os.environ.get("BEAMS", "120") == "120" else f"_b{os.environ['BEAMS']}"),
               "seeds": SEEDS,
               "winner_ate_mean": round(float(np.mean(wins)), 4),
               "winner_ate_max": round(float(np.max(wins)), 4),
               "winner_ate_all": [round(w, 4) for w in wins],
+              "wmean_ate_mean": round(float(np.mean(wmeans)), 4),
+              "wmean_ate_max": round(float(np.max(wmeans)), 4),
+              "wmean_ate_all": [round(w, 4) for w in wmeans],
               "online_ate_mean": round(float(np.mean(onls)), 4),
               "backend": "device:" + jax.default_backend(),
               "ts": int(time.time())})

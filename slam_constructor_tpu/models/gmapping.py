@@ -509,6 +509,30 @@ def winner_trajectory(all_poses: Array, ancestors: Array, winner) -> Array:
     return out
 
 
+def weighted_mean_trajectory(
+    all_poses: Array, ancestors: Array, log_weights: Array
+) -> Array:
+    """Posterior-mean trajectory: the weight-softmax mix of EVERY final
+    particle's genealogy-consistent path (circular mean for headings).
+
+    The reference convention (and :func:`winner_trajectory`) outputs the
+    MAP particle's path; on fp-knife-edge benches the argmax winner flips
+    between near-tied particles and the reported ATE inherits that
+    variance. The expectation under the final weights is a smoother
+    estimator of the same posterior — a capability the batched genealogy
+    arrays give almost for free (one vmap'd backtrack over particles).
+    """
+    p = all_poses.shape[1]
+    trajs = jax.vmap(lambda i: winner_trajectory(all_poses, ancestors, i))(
+        jnp.arange(p)
+    )  # [P, T, 3]
+    w = jax.nn.softmax(log_weights)
+    xy = (w[:, None, None] * trajs[..., :2]).sum(0)
+    s = (w[:, None] * jnp.sin(trajs[..., 2])).sum(0)
+    c = (w[:, None] * jnp.cos(trajs[..., 2])).sum(0)
+    return jnp.concatenate([xy, jnp.arctan2(s, c)[..., None]], axis=-1)
+
+
 class GMappingEngine:
     """Host driver mirroring models.engine.Engine for the RBPF world."""
 
