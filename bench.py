@@ -211,7 +211,10 @@ def main():
             )
             return e
 
-        seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 64))
+        # segment=128 halves the per-segment dispatch+sync overhead
+        # (~30 ms per tunnel round trip); 2-lap ATE measured identical
+        # (0.0705) at segments 64 and 128
+        seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 128))
         e = make_full()
         e.run(scans, odom, segment=seg)  # warmup/compile
         import numpy as np  # noqa: F811
