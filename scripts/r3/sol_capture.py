@@ -31,12 +31,19 @@ from slam_constructor_tpu.models import engine as eng, gmapping, tiny
 from slam_constructor_tpu.ops import grid as gridlib, m3rsm, raycast, scoring
 from slam_constructor_tpu.utils import datagen, profiling
 
-INNER = int(os.environ.get("SOL_INNER", 64))
+INNER_LO = int(os.environ.get("SOL_INNER_LO", 64))
+INNER_HI = int(os.environ.get("SOL_INNER_HI", 256))
 
 
 def timed_chain(make_body, carry, iters=5):
-    """Per-iteration ms of N dependent body applications, dispatch+fetch
-    floor subtracted via a 1-iteration control."""
+    """Per-iteration ms via the slope between two inner-loop sizes.
+
+    (t_HI - t_LO) / (HI - LO): both runs carry the same dispatch+fetch
+    floor, and the difference is (HI-LO) iterations of pure device work —
+    a bigger signal than the N-vs-1 subtraction, which on a jittery chip
+    produced negative deltas (bogus 0.0 ms rows in the first r3 capture).
+    Returns None when the window is too jittery to measure (flagged in
+    the report rather than faked)."""
 
     def run(n):
         f = jax.jit(
@@ -52,13 +59,17 @@ def timed_chain(make_body, carry, iters=5):
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t_n, t_1 = run(INNER), run(1)
-    return max(t_n - t_1, 1e-9) / (INNER - 1) * 1e3
+    t_lo, t_hi = run(INNER_LO), run(INNER_HI)
+    if t_hi <= t_lo:
+        return None
+    return (t_hi - t_lo) / (INNER_HI - INNER_LO) * 1e3
 
 
 def chip_health():
     a = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
     ms = timed_chain(lambda x: jnp.tanh(x @ a), jnp.ones((2048, 2048), jnp.bfloat16))
+    if ms is None:
+        return {"kernel": "chip_health_matmul2k", "error": "jitter"}
     return {"kernel": "chip_health_matmul2k", "measured_ms": round(ms, 4),
             "tflops_bf16": round(2 * 2048**3 / (ms / 1e3) / 1e12, 1)}
 
@@ -88,6 +99,10 @@ def main():
 
         try:
             ms = timed_chain(body, jnp.broadcast_to(pose0, (k, 3)) * 1.0)
+            if ms is None:
+                reports.append({"kernel": f"score_{impl}",
+                                "error": "window too jittery"})
+                continue
             n = k * r
             flops = 2.0 * n * h * w
             bytes_acc = 4.0 * (n * h + n * w + h * w + n * w)
@@ -110,6 +125,9 @@ def main():
             return raycast.insert_scan(g, model, p_dep, s0, _bc)
 
         ms = timed_chain(insert_body, gm)
+        if ms is None:
+            reports.append({"kernel": name, "error": "window too jittery"})
+            continue
         n_samples = r * cfg.beam.n_free_samples(gm.scale)
         reports.append(
             profiling.sol_report(
@@ -129,7 +147,10 @@ def main():
             return p + 1e-12 * res.prob
 
         ms = timed_chain(body, pose0)
-        reports.append({"kernel": name, "measured_ms": round(ms, 4)})
+        reports.append(
+            {"kernel": name, "measured_ms": round(ms, 4)}
+            if ms is not None else {"kernel": name, "error": "jitter"}
+        )
 
     # --- full RBPF fast step (the headline preset's per-scan device cost)
     gcfg = gmapping.fast_config(n_particles=30, map_size=256, usable_range=6.0)
@@ -137,8 +158,12 @@ def main():
     ms = timed_chain(
         lambda st: gmapping.gmapping_step(gcfg, st, s0, jnp.zeros(3))[0], st0
     )
-    reports.append({"kernel": "gmapping_fast_step", "measured_ms": round(ms, 4),
-                    "implied_scans_per_sec": round(1e3 / ms, 1)})
+    reports.append(
+        {"kernel": "gmapping_fast_step", "measured_ms": round(ms, 4),
+         "implied_scans_per_sec": round(1e3 / ms, 1)}
+        if ms is not None else
+        {"kernel": "gmapping_fast_step", "error": "jitter"}
+    )
 
     # --- pose-graph GN
     from slam_constructor_tpu.models import posegraph as pg
@@ -148,7 +173,10 @@ def main():
     ms = timed_chain(
         lambda s: s.replace(kf_poses=pg.optimize(tpg.CFG, s).kf_poses), st_g
     )
-    reports.append({"kernel": "gn_optimize_24kf", "measured_ms": round(ms, 4)})
+    reports.append(
+        {"kernel": "gn_optimize_24kf", "measured_ms": round(ms, 4)}
+        if ms is not None else {"kernel": "gn_optimize_24kf", "error": "jitter"}
+    )
 
     out = {"round": 3, "backend": jax.default_backend(), "inner": INNER,
            "methodology": "chained-carry fori_loop, (t_N - t_1)/(N-1); "
