@@ -178,9 +178,11 @@ def main():
         if ms is not None else {"kernel": "gn_optimize_24kf", "error": "jitter"}
     )
 
-    out = {"round": 3, "backend": jax.default_backend(), "inner": INNER,
-           "methodology": "chained-carry fori_loop, (t_N - t_1)/(N-1); "
-                          "fetch/dispatch floor subtracted",
+    out = {"round": 3, "backend": jax.default_backend(),
+           "inner": [INNER_LO, INNER_HI],
+           "methodology": "chained-carry fori_loop; per-iter ms = slope "
+                          "(t_hi - t_lo)/(hi - lo) so the dispatch+fetch "
+                          "floor cancels; jittery windows flagged",
            "ts": int(time.time()), "kernels": reports}
     with open(os.path.join(REPO, "SOL_r03.json"), "w") as f:
         json.dump(out, f, indent=1)
