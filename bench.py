@@ -60,16 +60,25 @@ def _chip_tflops(timeout_s: float = 180.0) -> float:
     import subprocess
     import sys
 
+    # slope between 16- and 64-iteration chains: cancels the tunnel's
+    # fetch latency, which can reach hundreds of ms and otherwise reads
+    # as a "slow chip" (r3 post-mortem: naive probe said 9.5 TFLOPs in a
+    # window where the slope measured 213)
     code = (
         "import jax, numpy as np, jax.numpy as jnp, time;"
         "a=jax.random.normal(jax.random.PRNGKey(0),(2048,2048),jnp.bfloat16);"
-        "f=jax.jit(lambda c: jax.lax.scan(lambda x,_: (jnp.tanh(x@a),None),"
-        "c,None,length=16)[0][0,0]);"
         "x=jnp.ones((2048,2048),jnp.bfloat16);"
-        "float(np.asarray(f(x)));"
-        "t=time.perf_counter(); float(np.asarray(f(x)));"
-        "ms=(time.perf_counter()-t)/16*1e3;"
-        "print('TFLOPS', round(2*2048**3/(ms/1e3)/1e12, 1))"
+        "mk=lambda n: jax.jit(lambda c: jax.lax.scan(lambda y,_:"
+        " (jnp.tanh(y@a),None),c,None,length=n)[0][0,0]);"
+        "f16, f64 = mk(16), mk(64);"
+        "float(np.asarray(f16(x))); float(np.asarray(f64(x)));"
+        "t=time.perf_counter(); float(np.asarray(f16(x)));"
+        "t16=time.perf_counter()-t;"
+        "t=time.perf_counter(); float(np.asarray(f64(x)));"
+        "t64=time.perf_counter()-t;"
+        "ms=max(t64-t16,1e-9)/48*1e3;"
+        "print('TFLOPS', round(2*2048**3/(ms/1e3)/1e12, 1)"
+        " if t64>t16 else 0.0)"
     )
     try:
         r = subprocess.run(
@@ -136,7 +145,10 @@ def _tpu_responsive() -> tuple[bool, int]:
 
 
 def main():
-    n_scans = int(os.environ.get("SLAM_BENCH_SCANS", 256))
+    # 512 scans: the tunnel's device->host fetch latency reaches hundreds
+    # of ms in bad windows; a longer device-resident sequence amortizes it
+    # (the metric is sustained scans/s, not launch latency)
+    n_scans = int(os.environ.get("SLAM_BENCH_SCANS", 512))
     n_beams = int(os.environ.get("SLAM_BENCH_BEAMS", 360))
     map_size = int(os.environ.get("SLAM_BENCH_MAP", 256))
     preset = os.environ.get("SLAM_BENCH_PRESET", "tiny")

@@ -1,13 +1,18 @@
-"""One-line chip-health reference: a fixed device-resident matmul loop.
+"""One-line chip-health reference: slope-timed fixed matmul chain.
 
-The axon chip's delivered throughput varies >2x across hours; every speed
-capture batch is tagged with this reference so slow-window captures are
-recognizable (r2's SOL capture assumed a healthy chip). Appends to
-TPU_MEASURES.jsonl as name=chip_health/matmul2k.
+Round-3 discovery: the naive version (one fetch per 16-iteration loop)
+reported 1.6-10 "TFLOPs" during windows when the chip itself was fine —
+the TUNNEL'S FETCH LATENCY had grown from ~30 ms to hundreds of ms and
+dominated the measurement. The slope between a 16- and 64-iteration chain
+cancels the fetch floor and measures actual device throughput (213 TFLOPs
+bf16 in the same window the naive probe called "9.5").
+
+Appends to TPU_MEASURES.jsonl as name=chip_health/matmul2k (device
+throughput) + fetch_ms (the tunnel latency, reported separately — both
+matter: fetch latency bounds per-segment/host-sync costs).
 """
 import json
 import os
-import sys
 import time
 
 import jax
@@ -21,25 +26,37 @@ def main():
     k = jax.random.PRNGKey(0)
     a = jax.random.normal(k, (2048, 2048), jnp.bfloat16)
 
-    @jax.jit
-    def loop(c):
-        def body(x, _):
-            return jnp.tanh(x @ a), None
-        out, _ = jax.lax.scan(body, c, None, length=16)
-        return out[0, 0]
+    def make(n):
+        @jax.jit
+        def loop(c):
+            def body(x, _):
+                return jnp.tanh(x @ a), None
+            out, _ = jax.lax.scan(body, c, None, length=n)
+            return out[0, 0]
+        return loop
 
     x0 = jnp.ones((2048, 2048), jnp.bfloat16)
-    float(np.asarray(loop(x0)))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(loop(x0)))
-        ts.append((time.perf_counter() - t0) / 16)
-    ms = float(np.median(ts)) * 1e3
-    tflops = 2 * 2048**3 / (ms / 1e3) / 1e12
+
+    def run(n, iters=3):
+        f = make(n)
+        float(np.asarray(f(x0)))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x0)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t16, t64 = run(16), run(64)
+    if t64 > t16:
+        ms = (t64 - t16) / 48 * 1e3
+        tflops = 2 * 2048**3 / (ms / 1e3) / 1e12
+    else:
+        ms, tflops = 0.0, 0.0  # jitter: unmeasurable window
+    fetch_ms = max(t16 * 1e3 - 16 * ms, 0.0)
     row = {"name": "chip_health/matmul2k", "ms": round(ms, 4),
-           "tflops": round(tflops, 1), "ts": time.time(),
-           "backend": jax.default_backend()}
+           "tflops": round(tflops, 1), "fetch_ms": round(fetch_ms, 1),
+           "ts": time.time(), "backend": jax.default_backend()}
     print(json.dumps(row), flush=True)
     with open(os.path.join(REPO, "TPU_MEASURES.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
