@@ -54,8 +54,41 @@ def main():
     else:
         ms, tflops = 0.0, 0.0  # jitter: unmeasurable window
     fetch_ms = max(t16 * 1e3 - 16 * ms, 0.0)
+
+    # HBM bandwidth probe (the dimension that actually throttles the SLAM
+    # kernels — score/insert are memory-bound; a co-tenant can starve HBM
+    # while the MXU peak stays intact): slope-timed big-array saxpy.
+    big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
+
+    def mkbw(n):
+        @jax.jit
+        def loop(c):
+            def body(x, _):
+                return x * 0.999 + 0.001, None  # read + write 256 MB
+            out, _ = jax.lax.scan(body, c, None, length=n)
+            return out[0, 0, 0]
+        return loop
+
+    f4, f16b = mkbw(4), mkbw(16)
+    float(np.asarray(f4(big))); float(np.asarray(f16b(big)))
+
+    def runbw(f, iters=3):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(f(big)))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    b4, b16 = runbw(f4), runbw(f16b)
+    if b16 > b4:
+        per = (b16 - b4) / 12
+        gbps = 2 * big.nbytes / per / 1e9
+    else:
+        gbps = 0.0
     row = {"name": "chip_health/matmul2k", "ms": round(ms, 4),
            "tflops": round(tflops, 1), "fetch_ms": round(fetch_ms, 1),
+           "hbm_gbps": round(gbps, 1),
            "ts": time.time(), "backend": jax.default_backend()}
     print(json.dumps(row), flush=True)
     with open(os.path.join(REPO, "TPU_MEASURES.jsonl"), "a") as f:
