@@ -68,6 +68,15 @@ class EngineConfig:
     refine_cfg: Any = None
     #: weight beams by scan-degeneracy angle histogram (vinySLAM feature)
     use_angle_histogram: bool = False
+    #: dense-path matching window (cells, 0 = score against the whole
+    #: map). One robot-centered window per match (the sanctioned slice
+    #: form — CLAUDE.md); EXACT when the window covers the scan's usable
+    #: reach from any candidate: window/2 >= beam.max_range/scale +
+    #: search extent. Shrinks the memory-bound one-hot sampling operands
+    #: — the knob that keeps matching fast when HBM bandwidth is the
+    #: constraint (r3: windowed viny_m3rsm outran full-map tiny in an
+    #: HBM-starved chip window).
+    match_window: int = 0
     #: 'dense' (PlainGridMap-style) or 'tiled' (block-pool LazyTiledGridMap)
     map_storage: str = "dense"
     #: tiled storage: block edge (cells), pool capacity (blocks), and the
@@ -232,6 +241,10 @@ def slam_step(
         )
     else:
         view = scoring.MapView.of(state.gm, cfg.cell_model)
+        if cfg.match_window and not _uses_pyramid(cfg):
+            # single prior-centered window per match (m3rsm handles its
+            # own windowing against the cached pyramid — see M3RSMConfig)
+            view = scoring.window_view(view, prior[:2], cfg.match_window)
         if _uses_pyramid(cfg) and state.pyramid:
             # live RescalableCachingGridMap cache: no per-match rebuild
             res = match_fn(
