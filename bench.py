@@ -218,6 +218,10 @@ def main():
                         keyframe_distance=0.7, min_index_gap=8,
                         max_candidates=4, local_map_size=120,
                     ),
+                    # BA stage batching: re-optimize once per 8 accumulated
+                    # loop constraints (the PP low-rate stage; per-loop
+                    # optimization would run GN ~70x over this sequence)
+                    optimize_every_loops=8,
                 ),
                 n_beams=n_beams,
             )
@@ -227,6 +231,18 @@ def main():
         # (~30 ms per tunnel round trip); 2-lap ATE measured identical
         # (0.0705) at segments 64 and 128
         seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 128))
+        # the shared bench trajectory covers <1 lap of the ~27 m rectangle
+        # at these scan counts — no revisits, so loop closure would sit
+        # idle. The full pipeline gets a 2-lap version of the same loop so
+        # the keyframe graph actually closes (throughput then includes
+        # detect+optimize work at its real rate).
+        lap = datagen.rectangle_trajectory(step=2 * 27.2 / n_scans)
+        reps2 = (n_scans + lap.shape[0] - 1) // lap.shape[0]
+        poses2 = jnp.tile(lap, (reps2, 1))[:n_scans]
+        scans, odom, gt = datagen.synth_sequence(
+            occ, origin, scale, poses2, bearings, jax.random.PRNGKey(0),
+            odom_noise_xy=0.01, odom_noise_theta=0.005,
+        )
         e = make_full()
         e.run(scans, odom, segment=seg)  # warmup/compile
         import numpy as np  # noqa: F811
