@@ -7,7 +7,7 @@
 cd "$(dirname "$0")/../.."
 N=${N:-20}
 SLEEP=${SLEEP:-900}
-THRESH=${THRESH:-30}
+THRESH=${THRESH:-350}  # GB/s of HBM: the SLAM kernels are memory-bound
 for i in $(seq 1 "$N"); do
   echo "=== probe $i/$N $(date) ==="
   H=$(timeout 900 python scripts/r3/chip_health.py 2>/dev/null | \
@@ -15,9 +15,9 @@ for i in $(seq 1 "$N"); do
 for line in sys.stdin:
     line=line.strip()
     if line.startswith('{'):
-        print(json.loads(line).get('tflops',0)); break
+        r=json.loads(line); print(r.get('hbm_gbps',0)); break
 else: print(0)")
-  echo "health: ${H} tflops"
+  echo "health: ${H} hbm_gbps"
   if python3 -c "import sys; sys.exit(0 if float('${H:-0}') >= ${THRESH} else 1)"; then
     echo "HEALTHY WINDOW — capturing $(date)"
     timeout 1200 env SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=tiny python bench.py
