@@ -287,11 +287,22 @@ def score_poses(
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords
 
-    if (
-        cfg.impl == "pallas"
+    # 'auto' prefers the Pallas VMEM sampler for LARGE exact-overlap views
+    # on TPU: measured r3 A/B (TPU_MEASURES pallas_ab/*) — 1.5x faster
+    # than the one-hot matmul on full-map 256^2 scoring (0.080 vs 0.152 ms
+    # per 64x360 eval; ~100% of the memory roofline), but 1.8x SLOWER on
+    # the RBPF's vmapped 160^2 windowed views. The 200^2-cell threshold
+    # splits the two measured regimes.
+    auto_pallas = (
+        cfg.impl == "auto"
         and cfg.reducer == "overlap"
         and cfg.overlap_extent == 1.0
-    ):
+        and jax.default_backend() == "tpu"
+        and h * w >= 200 * 200
+    )
+    if (
+        cfg.impl == "pallas" or auto_pallas
+    ) and cfg.reducer == "overlap" and cfg.overlap_extent == 1.0:
         from . import pallas_kernels
 
         k, r = rel.shape[:2]
