@@ -51,42 +51,42 @@ def _tpu_probe_once(timeout_s: float = 90.0) -> bool:
         return False
 
 
-def _chip_tflops(timeout_s: float = 180.0) -> float:
-    """Delivered bf16 TFLOPs of a fixed 2048^2 matmul chain (subprocess so
-    a hung chip can't take the bench down). The session chip swings from
-    ~1.6 to 100+ delivered TFLOPs across hours; the official capture
-    should not silently record a 0.4%-of-peak window as the framework's
-    throughput."""
+def _chip_hbm_gbps(timeout_s: float = 180.0) -> float:
+    """Delivered HBM GB/s of a fixed 256 MB saxpy chain (subprocess so a
+    hung chip can't take the bench down). The official capture should not
+    silently record a bandwidth-starved co-tenant window as the
+    framework's throughput."""
     import subprocess
     import sys
 
-    # slope between 16- and 64-iteration chains: cancels the tunnel's
-    # fetch latency, which can reach hundreds of ms and otherwise reads
-    # as a "slow chip" (r3 post-mortem: naive probe said 9.5 TFLOPs in a
-    # window where the slope measured 213)
+    # Slope between 4- and 16-iteration chains of a 256 MB saxpy: cancels
+    # the tunnel's fetch latency AND measures the dimension that actually
+    # throttles the (memory-bound) SLAM kernels — HBM bandwidth. The
+    # session chip is co-tenanted: MXU peak stays near 100-213 TFLOPs
+    # while delivered HBM swings ~150-725 GB/s across hours (r3
+    # chip_health rows); gating on compute would always pass.
     code = (
         "import jax, numpy as np, jax.numpy as jnp, time;"
-        "a=jax.random.normal(jax.random.PRNGKey(0),(2048,2048),jnp.bfloat16);"
-        "x=jnp.ones((2048,2048),jnp.bfloat16);"
-        "mk=lambda n: jax.jit(lambda c: jax.lax.scan(lambda y,_:"
-        " (jnp.tanh(y@a),None),c,None,length=n)[0][0,0]);"
-        "f16, f64 = mk(16), mk(64);"
-        "float(np.asarray(f16(x))); float(np.asarray(f64(x)));"
-        "t=time.perf_counter(); float(np.asarray(f16(x)));"
+        "big=jnp.ones((64,1024,1024),jnp.float32);"
+        "mk=lambda n: jax.jit(lambda c: jax.lax.scan(lambda x,_:"
+        " (x*0.999+0.001,None),c,None,length=n)[0][0,0,0]);"
+        "f4, f16 = mk(4), mk(16);"
+        "float(np.asarray(f4(big))); float(np.asarray(f16(big)));"
+        "t=time.perf_counter(); float(np.asarray(f4(big)));"
+        "t4=time.perf_counter()-t;"
+        "t=time.perf_counter(); float(np.asarray(f16(big)));"
         "t16=time.perf_counter()-t;"
-        "t=time.perf_counter(); float(np.asarray(f64(x)));"
-        "t64=time.perf_counter()-t;"
-        "ms=max(t64-t16,1e-9)/48*1e3;"
-        "print('TFLOPS', round(2*2048**3/(ms/1e3)/1e12, 1)"
-        " if t64>t16 else 0.0)"
+        "per=max(t16-t4,1e-9)/12;"
+        "print('GBPS', round(2*big.nbytes/per/1e9, 1)"
+        " if t16>t4 else 0.0)"
     )
     try:
         r = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
             capture_output=True, text=True,
         )
-        if r.returncode == 0 and "TFLOPS" in r.stdout:
-            return float(r.stdout.rsplit("TFLOPS", 1)[1].split()[0])
+        if r.returncode == 0 and "GBPS" in r.stdout:
+            return float(r.stdout.rsplit("GBPS", 1)[1].split()[0])
     except (subprocess.TimeoutExpired, ValueError, IndexError):
         pass
     return 0.0
@@ -94,23 +94,24 @@ def _chip_tflops(timeout_s: float = 180.0) -> float:
 
 def _wait_for_healthy_chip() -> float:
     """Wait (bounded) for the chip to deliver at least
-    SLAM_BENCH_MIN_TFLOPS (default 20) before the official capture; returns
-    the last observed TFLOPs either way."""
+    SLAM_BENCH_MIN_HBM_GBPS (default 400) of delivered HBM bandwidth
+    before the official capture; returns the last observed GB/s either
+    way."""
     import sys
     import time as _time
 
-    min_tflops = float(os.environ.get("SLAM_BENCH_MIN_TFLOPS", 20))
+    min_gbps = float(os.environ.get("SLAM_BENCH_MIN_HBM_GBPS", 400))
     window = float(os.environ.get("SLAM_BENCH_HEALTH_WINDOW", 900))
     interval = float(os.environ.get("SLAM_BENCH_PROBE_INTERVAL", 60))
     deadline = _time.monotonic() + window
-    t = _chip_tflops()
-    while t < min_tflops and _time.monotonic() < deadline:
+    t = _chip_hbm_gbps()
+    while t < min_gbps and _time.monotonic() < deadline:
         print(
-            f"bench: chip delivering {t} TFLOPs (< {min_tflops}); waiting "
+            f"bench: chip delivering {t} GB/s HBM (< {min_gbps}); waiting "
             f"for a healthy window", file=sys.stderr,
         )
         _time.sleep(interval)
-        t = _chip_tflops()
+        t = _chip_hbm_gbps()
     return t
 
 
@@ -155,7 +156,7 @@ def main():
 
     backend = "device"
     probe_attempts = 0
-    chip_tflops = None
+    chip_hbm = None
     if not os.environ.get("SLAM_BENCH_NO_PROBE"):
         up, probe_attempts = _tpu_responsive()
         if not up:
@@ -164,7 +165,7 @@ def main():
             jax.config.update("jax_platforms", "cpu")
             backend = "cpu-fallback"
         else:
-            chip_tflops = _wait_for_healthy_chip()
+            chip_hbm = _wait_for_healthy_chip()
 
     from slam_constructor_tpu.models import engine as eng
     from slam_constructor_tpu.models import gmapping, tiny, viny
@@ -264,8 +265,8 @@ def main():
         }
         if probe_attempts > 1 or backend != "device":
             out["probe_attempts"] = probe_attempts
-        if chip_tflops is not None:
-            out["chip_tflops_bf16"] = chip_tflops
+        if chip_hbm is not None:
+            out["chip_hbm_gbps"] = chip_hbm
         print(json.dumps(out))
         return
     else:
@@ -305,8 +306,8 @@ def main():
     }
     if probe_attempts > 1 or backend != "device":
         out["probe_attempts"] = probe_attempts
-    if chip_tflops is not None:
-        out["chip_tflops_bf16"] = chip_tflops
+    if chip_hbm is not None:
+        out["chip_hbm_gbps"] = chip_hbm
     print(json.dumps(out))
 
 
