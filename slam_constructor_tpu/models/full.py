@@ -179,6 +179,29 @@ class FullSlamEngine:
             )
         )
 
+        def close_fn(graph, state, fresh_gm):
+            # one dispatch per closure burst: densify rounds (fixed count,
+            # no-candidates rounds are no-ops) + GN optimize + tracker
+            # re-anchor + map regeneration. The unfused version cost ~4-5
+            # tunnel round trips (~30-300 ms each) per burst.
+            last = graph.last_kf
+            before = graph.kf_poses[last]
+            total_new = jnp.int32(0)
+            for _ in range(self.cfg.densify_rounds):
+                graph, n_new = pg.densify_loops(self.cfg.graph, model, graph)
+                total_new = total_new + n_new
+            graph = pg.optimize(self.cfg.graph, graph)
+            after = graph.kf_poses[last]
+            new_pose = compose(after, between(before, state.pose))
+            gm = pg.regenerate_map(self.cfg.graph, model, graph, fresh_gm,
+                                   beam=t.beam)
+            return (
+                graph, state.replace(gm=gm, pose=new_pose), total_new,
+                graph.kf_poses[last],
+            )
+
+        self._close_fused = jax.jit(close_fn)
+
     def _ensure_capacity(self, n_new: int = 1):
         """Grow the graph (2x) BEFORE an add would saturate — the host-side
         re-shard event mirroring blockmap's contract, so long runs never
@@ -288,6 +311,26 @@ class FullSlamEngine:
 
     def _close_loops(self):
         """Optimize the graph, re-anchor the tracker, regenerate the map."""
+        if self.cfg.joint_refine_rounds == 0:
+            # fused fast path: densify + optimize + re-anchor + regen in
+            # ONE dispatch, one loop-count sync
+            fresh = gridlib.make_grid_map(
+                self.cfg.tracking.cell_model,
+                self.cfg.tracking.map_height,
+                self.cfg.tracking.map_width,
+                self.cfg.tracking.map_scale,
+            )
+            self.graph, self.state, total_new, last_pose = self._close_fused(
+                self.graph, self.state, fresh
+            )
+            nl = int(total_new)
+            self.total_loops += nl
+            self._edges_upper_host += nl
+            import numpy as np
+
+            self._last_kf_pose_host = np.asarray(last_pose)
+            self._last_kf_dev = jnp.asarray(self._last_kf_pose_host)
+            return
         last = self.graph.last_kf
         before = self.graph.kf_poses[last]
         for _ in range(self.cfg.densify_rounds):
