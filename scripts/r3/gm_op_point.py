@@ -120,6 +120,11 @@ def variants():
         base, matcher_cfg=dataclasses.replace(
             _mc(16, 5, stride=2), sigma_xy=0.07, sigma_theta=0.035))
     out["ship"] = gmapping.fast_config(n_particles=30, map_size=256)
+    ship = out["ship"]
+    out["ship_r4"] = dataclasses.replace(
+        ship, matcher_cfg=dataclasses.replace(ship.matcher_cfg, rounds=4))
+    out["ship_b16"] = dataclasses.replace(
+        ship, matcher_cfg=dataclasses.replace(ship.matcher_cfg, batch=16))
     out["s2_sig06_b20"] = dataclasses.replace(
         base, matcher_cfg=dataclasses.replace(
             _mc(20, 5, stride=2), sigma_xy=0.06, sigma_theta=0.03))
