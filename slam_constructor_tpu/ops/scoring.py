@@ -287,22 +287,20 @@ def score_poses(
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords
 
-    # 'auto' prefers the Pallas VMEM sampler for LARGE exact-overlap views
-    # on TPU: measured r3 A/B (TPU_MEASURES pallas_ab/*) — 1.5x faster
-    # than the one-hot matmul on full-map 256^2 scoring (0.080 vs 0.152 ms
-    # per 64x360 eval; ~100% of the memory roofline), but 1.8x SLOWER on
-    # the RBPF's vmapped 160^2 windowed views. The 200^2-cell threshold
-    # splits the two measured regimes.
-    auto_pallas = (
-        cfg.impl == "auto"
+    # NOTE (r3): an 'auto'-prefers-Pallas rule for large views was tried
+    # and REVERTED. The Pallas sampler is ~1.5x faster than the one-hot
+    # matmul on full-map 256^2 scoring (0.080 vs 0.152 ms per 64x360
+    # eval, ~100% of the memory roofline — TPU_MEASURES pallas_ab/*) and
+    # a one-shot equivalence probe showed max |diff| 6.7e-4; but run
+    # SEQUENTIALLY in the tiny tracking loop on chip it collapsed ATE to
+    # odometry level (0.45 vs 0.07) while the matmul path tracked
+    # normally. Until that is root-caused, impl='pallas' stays explicit
+    # opt-in and 'auto' keeps the matmul path.
+    if (
+        cfg.impl == "pallas"
         and cfg.reducer == "overlap"
         and cfg.overlap_extent == 1.0
-        and jax.default_backend() == "tpu"
-        and h * w >= 200 * 200
-    )
-    if (
-        cfg.impl == "pallas" or auto_pallas
-    ) and cfg.reducer == "overlap" and cfg.overlap_extent == 1.0:
+    ):
         from . import pallas_kernels
 
         k, r = rel.shape[:2]
