@@ -91,6 +91,64 @@ def _between_np(a, b):
     return np.stack([x, y, th], axis=-1).astype(np.float32)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _kf_batch_fn(gcfg, model, graph, loops_acc, seg_scans, seg_poses, idx, valid):
+    """Gather + add + detect + loop-count accumulate in ONE dispatch.
+
+    Module-level (static config args) so the jit cache is shared across
+    FullSlamEngine instances: per-instance closures recompiled inside
+    benchmark timed regions (round-3 ADVICE finding) — XLA compile time of
+    the graph-work programs was billed to the full pipeline's throughput."""
+    scans_k = jax.tree.map(lambda a: a[idx], seg_scans)
+    poses_k = seg_poses[idx]
+    graph, nl = pg.process_keyframes(gcfg, model, graph, scans_k, poses_k, valid)
+    return graph, loops_acc + nl
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _close_burst_fn(gcfg, model, beam, densify_rounds, graph, state, fresh_gm):
+    """One dispatch per closure burst: densify rounds (fixed count,
+    no-candidates rounds are no-ops) + GN optimize + tracker re-anchor +
+    map regeneration. The unfused version cost ~4-5 tunnel round trips
+    (~30-300 ms each) per burst. Module-level for cache sharing."""
+    last = graph.last_kf
+    before = graph.kf_poses[last]
+    total_new = jnp.int32(0)
+    for _ in range(densify_rounds):
+        graph, n_new = pg.densify_loops(gcfg, model, graph)
+        total_new = total_new + n_new
+    graph = pg.optimize(gcfg, graph)
+    after = graph.kf_poses[last]
+    new_pose = compose(after, between(before, state.pose))
+    gm = pg.regenerate_map(gcfg, model, graph, fresh_gm, beam=beam)
+    return (
+        graph, state.replace(gm=gm, pose=new_pose), total_new,
+        graph.kf_poses[last],
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _densify_fn(gcfg, model, graph):
+    return pg.densify_loops(gcfg, model, graph)
+
+
+@partial(jax.jit, static_argnums=0)
+def _optimize_fn(gcfg, graph):
+    return pg.optimize(gcfg, graph)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _regen_fn(gcfg, model, beam, graph, fresh_gm):
+    return pg.regenerate_map(gcfg, model, graph, fresh_gm, beam=beam)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _joint_refine_fn(gcfg, model, beam, rounds, graph, gm_template):
+    return pg.joint_refine(
+        gcfg, model, graph, gm_template, beam, rounds=rounds
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class FullConfig:
     tracking: EngineConfig = None  # default filled in __post_init__
@@ -154,53 +212,20 @@ class FullSlamEngine:
         self._rejit()
 
     def _rejit(self):
-        """(Re)build the graph-rate jitted functions against the current
-        graph config — called at init and after every capacity growth."""
+        """(Re)bind the graph-rate jitted functions against the current
+        graph config — called at init and after every capacity growth.
+        The jits themselves are module-level (shared cache across engine
+        instances); this only refreshes the bound static args."""
         t = self.cfg.tracking
         model = t.cell_model
-        self._add_kf = jax.jit(partial(pg.add_keyframe, self.cfg.graph))
-        self._detect = jax.jit(partial(pg.detect_loops, self.cfg.graph, model))
-
-        def kf_batch_fn(graph, loops_acc, seg_scans, seg_poses, idx, valid):
-            # gather + add + detect + loop-count accumulate in ONE dispatch
-            scans_k = jax.tree.map(lambda a: a[idx], seg_scans)
-            poses_k = seg_poses[idx]
-            graph, nl = pg.process_keyframes(
-                self.cfg.graph, model, graph, scans_k, poses_k, valid
-            )
-            return graph, loops_acc + nl
-
-        self._kf_batch = jax.jit(kf_batch_fn)
-        self._densify = jax.jit(partial(pg.densify_loops, self.cfg.graph, model))
-        self._optimize = jax.jit(partial(pg.optimize, self.cfg.graph))
-        self._regen = jax.jit(
-            partial(
-                pg.regenerate_map, self.cfg.graph, model, beam=t.beam
-            )
+        g = self.cfg.graph
+        self._kf_batch = partial(_kf_batch_fn, g, model)
+        self._densify = partial(_densify_fn, g, model)
+        self._optimize = partial(_optimize_fn, g)
+        self._regen = partial(_regen_fn, g, model, t.beam)
+        self._close_fused = partial(
+            _close_burst_fn, g, model, t.beam, self.cfg.densify_rounds
         )
-
-        def close_fn(graph, state, fresh_gm):
-            # one dispatch per closure burst: densify rounds (fixed count,
-            # no-candidates rounds are no-ops) + GN optimize + tracker
-            # re-anchor + map regeneration. The unfused version cost ~4-5
-            # tunnel round trips (~30-300 ms each) per burst.
-            last = graph.last_kf
-            before = graph.kf_poses[last]
-            total_new = jnp.int32(0)
-            for _ in range(self.cfg.densify_rounds):
-                graph, n_new = pg.densify_loops(self.cfg.graph, model, graph)
-                total_new = total_new + n_new
-            graph = pg.optimize(self.cfg.graph, graph)
-            after = graph.kf_poses[last]
-            new_pose = compose(after, between(before, state.pose))
-            gm = pg.regenerate_map(self.cfg.graph, model, graph, fresh_gm,
-                                   beam=t.beam)
-            return (
-                graph, state.replace(gm=gm, pose=new_pose), total_new,
-                graph.kf_poses[last],
-            )
-
-        self._close_fused = jax.jit(close_fn)
 
     def _ensure_capacity(self, n_new: int = 1):
         """Grow the graph (2x) BEFORE an add would saturate — the host-side
@@ -345,13 +370,10 @@ class FullSlamEngine:
             small = gridlib.make_grid_map(
                 t.cell_model, t.map_height, t.map_width, t.map_scale
             )
-            self.graph = jax.jit(
-                partial(
-                    pg.joint_refine, self.cfg.graph, t.cell_model,
-                    gm_template=small, beam=t.beam,
-                    rounds=self.cfg.joint_refine_rounds,
-                )
-            )(self.graph)
+            self.graph = _joint_refine_fn(
+                self.cfg.graph, t.cell_model, t.beam,
+                self.cfg.joint_refine_rounds, self.graph, small,
+            )
         after = self.graph.kf_poses[last]
         # re-anchor tracking pose: keep the offset from the last keyframe
         new_pose = compose(after, between(before, self.state.pose))

@@ -266,12 +266,39 @@ def _refine_rbpf(cfg: GMappingConfig, view, scan, res, key):
     return rf(view, scan, res.pose, key, rcfg, None)
 
 
+def match_particle(
+    cfg: GMappingConfig, view, scan, prior_p: Array, center_p: Array,
+    sigma: Array, key_p: Array,
+):
+    """ONE particle's full match pipeline: primary match -> optional refine
+    -> minimumScore gate -> proposal-specific (pose, log-weight increment).
+
+    The single source of truth shared by the single-device step (both map
+    storages) AND the EP / EP x TP sharded steps (parallel/ep_cow.py,
+    parallel/ep2d.py) — sharded and unsharded RBPF runs stay equivalent for
+    EVERY config (proposal, refine_matcher, min_match_prob) because they
+    execute this same function with the same per-particle key.
+    ``center_p`` is the NOISELESS motion center (improved-proposal tau
+    weighting); ``sigma`` the motion-model spread.
+    """
+    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    if cfg.proposal == "improved":
+        k_m, k_prop = jax.random.split(key_p)
+        res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
+        res = _refine_rbpf(cfg, view, scan, res, k_m)
+        res = _gate_match(cfg, view, scan, res, prior_p)
+        return _improved_proposal(view, scan, res, center_p, sigma, k_prop, cfg)
+    res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
+    res = _refine_rbpf(cfg, view, scan, res, key_p)
+    res = _gate_match(cfg, view, scan, res, prior_p)
+    return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
+
+
 def gmapping_step(
     cfg: GMappingConfig, state: GMappingState, scan: LaserScan, odom_delta: Array
 ) -> GMappingState:
     """One RBPF step: propose -> match -> weight -> insert -> resample."""
     p = cfg.n_particles
-    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
     key, k_noise, k_match, k_res = jax.random.split(state.key, 4)
 
     # 1. proposal: odometry + per-particle motion-model noise (BOTH modes —
@@ -301,18 +328,7 @@ def gmapping_step(
                 state.gm, cfg.cell_model, p_idx, prior_p[:2], wt, wt
             )
             view = scoring.MapView.of(win, cfg.cell_model)
-            if cfg.proposal == "improved":
-                k_m, k_prop = jax.random.split(key_p)
-                res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
-                res = _refine_rbpf(cfg, view, scan, res, k_m)
-                res = _gate_match(cfg, view, scan, res, prior_p)
-                return _improved_proposal(
-                    view, scan, res, center_p, sigma, k_prop, cfg
-                )
-            res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
-            res = _refine_rbpf(cfg, view, scan, res, key_p)
-            res = _gate_match(cfg, view, scan, res, prior_p)
-            return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
+            return match_particle(cfg, view, scan, prior_p, center_p, sigma, key_p)
 
         poses, incr = jax.vmap(match_one)(
             jnp.arange(p), priors, motion_centers, keys
@@ -362,16 +378,7 @@ def gmapping_step(
                 else scoring.window_view
             )
             view = win_fn(view, prior_p[:2], cfg.match_window)
-        if cfg.proposal == "improved":
-            k_m, k_prop = jax.random.split(key_p)
-            res = match_fn(view, scan, prior_p, k_m, cfg.matcher_cfg, None)
-            res = _refine_rbpf(cfg, view, scan, res, k_m)
-            res = _gate_match(cfg, view, scan, res, prior_p)
-            return _improved_proposal(view, scan, res, center_p, sigma, k_prop, cfg)
-        res = match_fn(view, scan, prior_p, key_p, cfg.matcher_cfg, None)
-        res = _refine_rbpf(cfg, view, scan, res, key_p)
-        res = _gate_match(cfg, view, scan, res, prior_p)
-        return res.pose, cfg.weight_gamma * jnp.log(res.prob + 1e-6)
+        return match_particle(cfg, view, scan, prior_p, center_p, sigma, key_p)
 
     poses, incr = jax.vmap(match_one)(state.gm, priors, motion_centers, keys)
 

@@ -220,31 +220,123 @@ def process_keyframes(
     cfg: PoseGraphConfig,
     model,
     st: PoseGraphState,
-    scans: LaserScan,  # stacked [K, R] (padded)
-    poses: Array,  # f32[K, 3]
-    valid: Array,  # bool[K] — padding mask
+    scans: LaserScan,  # stacked [B, R] (padded)
+    poses: Array,  # f32[B, 3]
+    valid: Array,  # bool[B] — padding mask
 ):
     """Add + loop-detect a BATCH of keyframes in one jitted dispatch.
 
     The axon tunnel costs ~30 ms per dispatched call whether or not the
     host waits, so the segmented full pipeline must not dispatch add/detect
-    per keyframe (measured: full preset capped at ~47 scans/s). One
-    ``lax.scan`` over a fixed-width keyframe batch keeps the sequential
-    semantics (keyframe i's detection sees keyframes 0..i) at one
-    dispatch per segment. Returns ``(graph, total_new_loops)``.
+    per keyframe (measured: full preset capped at ~47 scans/s).
+
+    When the batch width B <= ``min_index_gap`` (and the submap radius is
+    below the gap), detection across the batch is PROVABLY independent:
+    keyframe b's candidate filter ``idx <= kf_idx_b - min_index_gap``
+    excludes every same-batch keyframe, so all B detections read only
+    pre-batch graph state. The batched path then runs every match of the
+    batch in ONE vmap (B x max_candidates submap renders + grid scores in
+    parallel — the round-4 full-pipeline hot-path fix; the serial lax.scan
+    left the MXU idle B-1/B of the time) and replays the edge appends in
+    sequential order, producing BITWISE the same graph as the sequential
+    loop (tests/test_posegraph.py).
+
+    Wider batches (or configs whose gap is smaller than the batch) fall
+    back to the sequential ``lax.scan`` — keyframe i's detection must see
+    keyframes 0..i-gap, some of which are in the same batch.
+
+    A keyframe DROPPED at capacity detects no loops in either path (the
+    host grows the graph before saturation — full.FullSlamEngine).
+    Returns ``(graph, total_new_loops)``.
     """
+    b = poses.shape[0]
+    if b <= cfg.min_index_gap and cfg.submap_radius < cfg.min_index_gap:
+        return _process_keyframes_batched(cfg, model, st, scans, poses, valid)
 
     def body(g, inp):
         scan_i, pose_i, v = inp
 
         def do(g_):
+            full = g_.n_kf >= cfg.max_keyframes
             g2 = add_keyframe(cfg, g_, pose_i, scan_i)
-            return detect_loops(cfg, model, g2, scan_i, pose_i)
+            return jax.lax.cond(
+                full,
+                lambda gg: (gg, jnp.int32(0)),
+                lambda gg: detect_loops(cfg, model, gg, scan_i, pose_i),
+                g2,
+            )
 
         return jax.lax.cond(v, do, lambda g_: (g_, jnp.int32(0)), g)
 
     st, nls = jax.lax.scan(body, st, (scans, poses, valid))
     return st, nls.sum()
+
+
+def _process_keyframes_batched(
+    cfg: PoseGraphConfig,
+    model,
+    st: PoseGraphState,
+    scans: LaserScan,
+    poses: Array,
+    valid: Array,
+):
+    """Batched process_keyframes (see its docstring for the exactness
+    argument). Three passes: place keyframes (writes only) -> one vmapped
+    detection over the whole batch (reads only) -> replay edge appends in
+    the sequential order (writes only)."""
+
+    # pass 1: place keyframes; record (index, placed, chain predecessor)
+    def place_body(g, inp):
+        scan_i, pose_i, v = inp
+        full = g.n_kf >= cfg.max_keyframes
+        place = v & ~full
+        k = g.n_kf
+        # out-of-range index when not placing -> mode='drop' skips writes
+        kw = jnp.where(place, k, cfg.max_keyframes)
+        new = g.replace(
+            kf_poses=g.kf_poses.at[kw].set(pose_i, mode="drop"),
+            kf_scans=jax.tree.map(
+                lambda buf, s: buf.at[kw].set(s, mode="drop"), g.kf_scans,
+                scan_i,
+            ),
+            n_kf=jnp.where(place, jnp.minimum(g.n_kf + 1, cfg.max_keyframes),
+                           g.n_kf),
+            kf_overflow=g.kf_overflow | (v & full),
+            last_kf=jnp.where(place, k, g.last_kf),
+        )
+        return new, (k, place, g.last_kf)
+
+    st2, (kf_idx, placed, prevs) = jax.lax.scan(
+        place_body, st, (scans, poses, valid)
+    )
+
+    # pass 2: ALL detections of the batch in one vmap against the placed
+    # state (exact: candidates are all strictly older than the batch)
+    cand, accept, poses_m, infos = jax.vmap(
+        lambda s_b, p_b, k_b: _detect_candidates(cfg, model, st2, s_b, p_b, k_b)
+    )(scans, poses, kf_idx)
+
+    # pass 3: replay edge appends in sequential order (odom edge then loop
+    # edges per keyframe), so the edge table is bitwise the sequential one
+    def replay_body(g, inp):
+        k_b, place_b, prev_b, pose_b, cand_b, acc_b, pm_b, inf_b = inp
+
+        def do(g_):
+            def with_odom(s):
+                delta = between(s.kf_poses[jnp.maximum(prev_b, 0)], pose_b)
+                return _append_edge(s, prev_b, k_b, delta, cfg.odom_info)
+
+            g_ = jax.lax.cond(prev_b >= 0, with_odom, lambda s: s, g_)
+            return _append_loop_edges(cfg, g_, k_b, cand_b, acc_b, pm_b, inf_b)
+
+        g = jax.lax.cond(place_b, do, lambda g_: g_, g)
+        return g, jnp.where(place_b, acc_b.sum(), 0)
+
+    st3, nls = jax.lax.scan(
+        replay_body, st2,
+        (kf_idx, placed, prevs, poses, cand, accept, poses_m, infos),
+    )
+    return st3, nls.sum()
 
 
 # --- loop closure -----------------------------------------------------------
@@ -254,7 +346,14 @@ def _render_local_map(
     cfg: PoseGraphConfig, model, st: PoseGraphState, ci: Array
 ):
     """Submap around keyframe ``ci``: its scan plus +-submap_radius
-    neighbors inserted at their current pose estimates."""
+    neighbors inserted at their current pose estimates.
+
+    For additive-fold cell models (``fold_additive`` — BayesAvg) the
+    neighbor scans rasterize IN PARALLEL (vmap over observation planes,
+    one fold) instead of a serial insert chain: exactly the same map up
+    to fp summation order, and the parallel shape is what the MXU wants
+    (round-4 full-pipeline work; the serial chain was a per-keyframe
+    latency tax inside the loop-detection hot path)."""
     n = cfg.local_map_size
     center = st.kf_poses[ci]
     gm = gridlib.GridMap(
@@ -262,27 +361,42 @@ def _render_local_map(
         origin=center[:2] - n * cfg.local_map_scale / 2.0,
         scale=cfg.local_map_scale,
     )
+    beam = raycast.BeamConfig(wall_blur=True)
+    span = 2 * cfg.submap_radius + 1
 
-    def insert_one(k, g):
+    def neighbor_scan(k):
         idx = ci + k - cfg.submap_radius
         ok = (idx >= 0) & (idx < st.n_kf)
         idx_c = jnp.clip(idx, 0, cfg.max_keyframes - 1)
         kf_scan = jax.tree.map(lambda a: a[idx_c], st.kf_scans)
         kf_scan = kf_scan.replace(valid=kf_scan.valid & ok)
-        return raycast.insert_scan(
-            g, model, st.kf_poses[idx_c], kf_scan,
-            raycast.BeamConfig(wall_blur=True),
-        )
+        return kf_scan, st.kf_poses[idx_c]
 
-    return jax.lax.fori_loop(0, 2 * cfg.submap_radius + 1, insert_one, gm)
+    if getattr(model, "fold_additive", False):
+        def planes_one(k):
+            kf_scan, pose = neighbor_scan(k)
+            return raycast.scan_observation_planes(gm, pose, kf_scan, beam)
+
+        w_all, s_all = jax.vmap(planes_one)(jnp.arange(span))
+        return gridlib.apply_observations(gm, model, w_all.sum(0), s_all.sum(0))
+
+    def insert_one(k, g):
+        kf_scan, pose = neighbor_scan(k)
+        return raycast.insert_scan(g, model, pose, kf_scan, beam)
+
+    return jax.lax.fori_loop(0, span, insert_one, gm)
 
 
-def detect_loops(
-    cfg: PoseGraphConfig, model, st: PoseGraphState, scan: LaserScan, pose: Array
-) -> PoseGraphState:
-    """Match the newest keyframe's scan against up to ``max_candidates`` old
-    keyframes; append accepted constraints. One vmap dispatch, masked."""
-    kf_idx = st.last_kf
+def _detect_candidates(
+    cfg: PoseGraphConfig, model, st: PoseGraphState, scan: LaserScan,
+    pose: Array, kf_idx: Array,
+):
+    """Pure compute half of :func:`detect_loops`: pick candidates, match,
+    gate — NO state writes. Returns ``(cand, accept, poses_m, infos)``.
+
+    Reads only keyframe poses/scans with index <= kf_idx - min_index_gap
+    (all strictly older than ``kf_idx``), which is what makes batching
+    detection across a keyframe batch exact (process_keyframes)."""
     idxs = jnp.arange(cfg.max_keyframes)
     dist = jnp.linalg.norm(st.kf_poses[:, :2] - pose[None, :2], axis=-1)
     ok = (
@@ -320,7 +434,13 @@ def detect_loops(
         & (jnp.abs(wrap_angle(corr[:, 2])) <= cfg.max_loop_correction_theta)
     )
     accept = cand_ok & (probs > cfg.min_prob) & corr_ok
+    return cand, accept, poses_m, infos
 
+
+def _append_loop_edges(
+    cfg: PoseGraphConfig, st: PoseGraphState, kf_idx, cand, accept,
+    poses_m, infos,
+) -> PoseGraphState:
     def add_one(i, s):
         def do(s):
             delta = between(s.kf_poses[cand[i]], poses_m[i])
@@ -329,7 +449,20 @@ def detect_loops(
 
         return jax.lax.cond(accept[i], do, lambda s: s, s)
 
-    return jax.lax.fori_loop(0, cfg.max_candidates, add_one, st), accept.sum()
+    return jax.lax.fori_loop(0, cfg.max_candidates, add_one, st)
+
+
+def detect_loops(
+    cfg: PoseGraphConfig, model, st: PoseGraphState, scan: LaserScan, pose: Array
+) -> PoseGraphState:
+    """Match the newest keyframe's scan against up to ``max_candidates`` old
+    keyframes; append accepted constraints. One vmap dispatch, masked."""
+    kf_idx = st.last_kf
+    cand, accept, poses_m, infos = _detect_candidates(
+        cfg, model, st, scan, pose, kf_idx
+    )
+    st = _append_loop_edges(cfg, st, kf_idx, cand, accept, poses_m, infos)
+    return st, accept.sum()
 
 
 def densify_loops(
@@ -607,9 +740,40 @@ def joint_refine(
 def regenerate_map(
     cfg: PoseGraphConfig, model, st: PoseGraphState, gm: gridlib.GridMap,
     beam: raycast.BeamConfig,
+    group: int = 8,
 ) -> gridlib.GridMap:
     """Rebuild a map by inserting every stored keyframe scan at its
-    optimized pose (the post-loop-closure map regeneration pass)."""
+    optimized pose (the post-loop-closure map regeneration pass).
+
+    Additive-fold cell models (BayesAvg) rasterize keyframes in PARALLEL:
+    observation planes for ``group`` keyframes at a time (vmap; the group
+    bounds the transient one-hot rasterization buffers), partial-summed
+    under ``lax.map``, one cell fold at the end — same map as the serial
+    insert chain up to fp summation order, at a fraction of the serial
+    latency (round-4: regeneration ran after every closure burst and the
+    K-long serial chain was a dominant full-pipeline cost). Order-
+    sensitive models (TBM, exp-smoothing) keep the sequential fold."""
+
+    if getattr(model, "fold_additive", False):
+        kmax = cfg.max_keyframes
+        g = min(group, kmax)
+        n_groups = -(-kmax // g)
+        idx_groups = jnp.arange(n_groups * g).reshape(n_groups, g)
+
+        def planes_one(i):
+            i_c = jnp.minimum(i, kmax - 1)
+            scan = jax.tree.map(lambda a: a[i_c], st.kf_scans)
+            scan = scan.replace(valid=scan.valid & (i < st.n_kf))
+            return raycast.scan_observation_planes(
+                gm, st.kf_poses[i_c], scan, beam
+            )
+
+        def group_fn(idxs):
+            w, s = jax.vmap(planes_one)(idxs)
+            return w.sum(0), s.sum(0)
+
+        w_g, s_g = jax.lax.map(group_fn, idx_groups)
+        return gridlib.apply_observations(gm, model, w_g.sum(0), s_g.sum(0))
 
     def body(i, g):
         scan = jax.tree.map(lambda a: a[i], st.kf_scans)

@@ -75,6 +75,13 @@ class BayesAvgCell:
     ``p <- (p n + s) / (n + w)``."""
 
     n_channels: int = dataclasses.field(default=1, init=False)
+    #: folding (w1, s1) then (w2, s2) equals folding (w1+w2, s1+s2): the
+    #: belief is a pure weighted mean, so observation planes from MANY
+    #: scans may be summed and applied in ONE update (exact up to fp
+    #: summation order). Lets the pose graph rasterize keyframes in
+    #: parallel (vmap) instead of a serial insert chain. False for the
+    #: exp-smoothing and TBM models, whose folds are order-sensitive.
+    fold_additive: bool = dataclasses.field(default=True, init=False)
 
     def init_belief(self):
         return (0.5,)

@@ -234,7 +234,17 @@ def m3rsm_match(
 
     h0, w0 = view.occ.shape
     step_top = 1 << cfg.levels
-    if cfg.window > 0 and h0 % step_top == 0 and w0 % step_top == 0:
+    if cfg.window > 0 and (h0 % step_top or w0 % step_top):
+        # fail loudly instead of silently scoring full-map planes: the
+        # windowed-cost contract would quietly vanish for misaligned maps
+        # (round-3 ADVICE — same failure mode the impl-string validation in
+        # GMappingConfig.__post_init__ exists to prevent)
+        raise ValueError(
+            f"M3RSMConfig.window={cfg.window} needs map dims divisible by "
+            f"2^levels={step_top}, got {h0}x{w0}; pad the map or set "
+            "window=0 to (knowingly) score full planes"
+        )
+    if cfg.window > 0:
         # prior-centered search window: slice every level plane (and the
         # view, for the refine pass) to an aligned S x S region so the
         # level-scoring matmul operands shrink by (H/S)(W/S). Round-2

@@ -232,23 +232,25 @@ def _band_window_contrib(
 
 def make_ep2d_match(cfg, mesh: Mesh):
     """Per-particle matching: windows psum-assembled over "bands", matching
-    band-replicated, results sharded over "pgroups"."""
-    from ..ops import matchers as matcherslib
-    from ..ops import scoring
+    band-replicated, results sharded over "pgroups".
 
-    if getattr(cfg, "proposal", "odom") != "odom":
-        raise NotImplementedError(
-            "EP2D matching implements the 'odom' proposal only (same "
-            "restriction and reason as ep_cow.make_ep_match)"
-        )
-    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    Band-replicated matching runs :func:`models.gmapping.match_particle`
+    (same proposal / refine / minimumScore pipeline and keys as the
+    single-device step) over the psum-assembled windows, so every
+    GMappingConfig stays sharded/unsharded-equivalent. Returns
+    ``(poses f32[P,3], log-weight increments f32[P])``."""
+    from ..ops import scoring
+    from ..models.gmapping import match_particle
+
     p = cfg.n_particles
     wt = cfg.window_tiles
 
-    def ep2d_match(st: Ep2dMaps, scan, priors: Array, k_match: Array):
+    def ep2d_match(st: Ep2dMaps, scan, priors: Array, centers: Array,
+                   sigma: Array, k_match: Array):
         p_local = p // mesh.shape["pgroups"]
 
-        def kernel(pool, tables, refcnt, ovf, scan_, priors_, kmatch_):
+        def kernel(pool, tables, refcnt, ovf, scan_, priors_, centers_,
+                   sigma_, kmatch_):
             g = jax.lax.axis_index("pgroups")
             band = jax.lax.axis_index("bands")
             keys = jax.random.split(kmatch_, p)  # same split on every shard
@@ -269,10 +271,10 @@ def make_ep2d_match(cfg, mesh: Mesh):
                     cells=dense[li], origin=w_origin[li], scale=st.scale
                 )
                 view = scoring.MapView.of(gm, cfg.cell_model)
-                res = match_fn(
-                    view, scan_, priors_[gid], keys[gid], cfg.matcher_cfg, None
+                return match_particle(
+                    cfg, view, scan_, priors_[gid], centers_[gid], sigma_,
+                    keys[gid],
                 )
-                return res.pose, res.prob
 
             return jax.vmap(one)(jnp.arange(p_local))
 
@@ -282,7 +284,7 @@ def make_ep2d_match(cfg, mesh: Mesh):
             in_specs=(
                 P("pgroups", "bands"), P("pgroups", "bands", None),
                 P("pgroups", "bands"), P("pgroups", "bands"),
-                P(None), P(None), P(None),
+                P(None), P(None), P(None), P(None), P(None),
             ),
             # identical across "bands" by construction (replicated matching
             # over psum'd windows); sharded over particle groups
@@ -290,7 +292,8 @@ def make_ep2d_match(cfg, mesh: Mesh):
             check_vma=False,
         )
         return fn(
-            st.pool, st.tables, st.refcnt, st.overflow, scan, priors, k_match
+            st.pool, st.tables, st.refcnt, st.overflow, scan, priors,
+            centers, sigma, k_match,
         )
 
     return ep2d_match
@@ -421,11 +424,11 @@ def make_ep2d_step(cfg, mesh: Mesh):
         sigma = base + alpha * jnp.abs(odom_delta)
         noise = jax.random.normal(k_noise, (p, 3)) * sigma
         priors = compose(state.poses, odom_delta[None, :] + noise)
+        centers = compose(state.poses, jnp.broadcast_to(odom_delta, (p, 3)))
 
-        poses, probs = match(st, scan, priors, k_match)
+        poses, incr = match(st, scan, priors, centers, sigma, k_match)
 
-        logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
-        logw = resample.normalize_log_weights(logw)
+        logw = resample.normalize_log_weights(state.log_weights + incr)
 
         rows, cols, w, s = jax.vmap(
             lambda pose_p: raycast.scan_sample_cells(

@@ -266,24 +266,26 @@ def init_ep_state(cfg, n_shards: int, capacity_per_shard: int | None = None,
 def make_ep_match(cfg, mesh: Mesh, axis: str = "chips"):
     """Per-particle scan matching against EP-local maps: each device
     extracts windows from its private pool and matches its particle shard
-    (the EP 'route the scan to each expert's shard' dispatch)."""
-    from ..ops import matchers as matcherslib
-    from ..ops import scoring
+    (the EP 'route the scan to each expert's shard' dispatch).
 
-    if getattr(cfg, "proposal", "odom") != "odom":
-        raise NotImplementedError(
-            "EP-sharded matching implements the 'odom' proposal only; "
-            "proposal='improved' would silently diverge from the "
-            "single-device step (different key splits + weight increments)"
-        )
-    _, match_fn = matcherslib.MATCHERS[cfg.matcher]
+    Runs :func:`models.gmapping.match_particle` per particle — the SAME
+    pipeline (proposal mode, optional refine pass, minimumScore gate) and
+    per-particle keys as the single-device step, so every GMappingConfig
+    stays sharded/unsharded-equivalent (round-3 ADVICE: the old 'odom'-only
+    guard silently ignored refine_matcher/min_match_prob).
+    Returns ``(poses f32[P,3], log-weight increments f32[P])``."""
+    from ..ops import scoring
+    from ..models.gmapping import match_particle
+
     p = cfg.n_particles
     wt = cfg.window_tiles
 
-    def ep_match(st: EpCowMaps, scan, priors: Array, k_match: Array):
+    def ep_match(st: EpCowMaps, scan, priors: Array, centers: Array,
+                 sigma: Array, k_match: Array):
         p_local = p // mesh.shape[axis]
 
-        def kernel(pool, tables, refcnt, ovf, scan_, priors_, kmatch_):
+        def kernel(pool, tables, refcnt, ovf, scan_, priors_, centers_,
+                   sigma_, kmatch_):
             d = jax.lax.axis_index(axis)
             cm = _local_cow(st, pool[0], tables, refcnt[0], ovf[0])
             keys = jax.random.split(kmatch_, p)  # same split on every shard
@@ -293,8 +295,9 @@ def make_ep_match(cfg, mesh: Mesh, axis: str = "chips"):
                 prior = priors_[g]
                 win = cowlib.extract_window(cm, cfg.cell_model, li, prior[:2], wt, wt)
                 view = scoring.MapView.of(win, cfg.cell_model)
-                res = match_fn(view, scan_, prior, keys[g], cfg.matcher_cfg, None)
-                return res.pose, res.prob
+                return match_particle(
+                    cfg, view, scan_, prior, centers_[g], sigma_, keys[g]
+                )
 
             return jax.vmap(one)(jnp.arange(p_local))
 
@@ -302,11 +305,12 @@ def make_ep_match(cfg, mesh: Mesh, axis: str = "chips"):
             kernel,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis),
-                      P(None), P(None), P(None)),
+                      P(None), P(None), P(None), P(None), P(None)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )
-        return fn(st.pool, st.tables, st.refcnt, st.overflow, scan, priors, k_match)
+        return fn(st.pool, st.tables, st.refcnt, st.overflow, scan, priors,
+                  centers, sigma, k_match)
 
     return ep_match
 
@@ -335,11 +339,13 @@ def make_ep_step(cfg, mesh: Mesh, axis: str = "chips"):
         sigma = base + alpha * jnp.abs(odom_delta)
         noise = jax.random.normal(k_noise, (p, 3)) * sigma
         priors = compose(state.poses, odom_delta[None, :] + noise)
+        centers = compose(state.poses, jnp.broadcast_to(odom_delta, (p, 3)))
 
-        poses, probs = make_ep_match(cfg, mesh, axis)(st, scan, priors, k_match)
+        poses, incr = make_ep_match(cfg, mesh, axis)(
+            st, scan, priors, centers, sigma, k_match
+        )
 
-        logw = state.log_weights + cfg.weight_gamma * jnp.log(probs + 1e-6)
-        logw = resample.normalize_log_weights(logw)
+        logw = resample.normalize_log_weights(state.log_weights + incr)
 
         rows, cols, w, s = jax.vmap(
             lambda pose_p: raycast.scan_sample_cells(

@@ -359,3 +359,76 @@ def test_refine_stage_improves_or_keeps_prob():
     # the refined config must match at least as well on the last scan
     # (monotone composition; exact probs differ by construction)
     assert float(probs[-1]) > 0.4
+
+
+def test_engine_match_window_equals_full(sequence):
+    """Engine-level match_window (one prior-centered window per match) must
+    reproduce match_window=0 when the window covers the scan's usable reach
+    from any candidate (the exactness contract in EngineConfig.match_window
+    — round-3 ADVICE: the engine-level path had no equivalence test, only
+    the RBPF-level one). Same keys, same sequence -> same trajectories."""
+    from slam_constructor_tpu.ops import raycast
+
+    scans, odom, gt = sequence
+    # reach = (max_range + hole_width)/scale + search extent; 3 m beams on a
+    # 0.05 m... keep defaults: max_range 15 m would exceed any window on a
+    # 256-cell map, so cap the beam range to make the contract satisfiable
+    beam = raycast.BeamConfig(max_range=4.0)
+    # window/2 = 80 cells = 8 m > 4 m reach + matcher extent: exact
+    base = tiny.tiny_config(map_size=256)
+    import dataclasses
+
+    cfg_full = dataclasses.replace(base, beam=beam, match_window=0)
+    cfg_win = dataclasses.replace(base, beam=beam, match_window=160)
+
+    # two key INSTANCES (same seed): run_sequence donates state, so a
+    # shared array would be deleted by the first engine's run
+    e_full = eng.Engine(cfg_full, key=jax.random.PRNGKey(3))
+    e_win = eng.Engine(cfg_win, key=jax.random.PRNGKey(3))
+    t_full, p_full = e_full.run(scans, odom)
+    t_win, p_win = e_win.run(scans, odom)
+    np.testing.assert_allclose(
+        np.asarray(t_win), np.asarray(t_full), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_win), np.asarray(p_full), atol=1e-5
+    )
+
+
+def test_rbpf_gate_match_keeps_prior_below_gate():
+    """gmapping._gate_match unit contract (reference minimumScore): a match
+    scoring below the gate keeps the PRIOR pose, weighted by the score at
+    the prior; above the gate the matched result passes through."""
+    from slam_constructor_tpu.models import gmapping
+    from slam_constructor_tpu.ops import cells, matchers, raycast, scoring
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    true_pose = jnp.array([0.0, -1.5, 0.0])
+    s = raycast.cast_rays(occ, origin, scale, true_pose, bearings)
+    model = cells.BayesAvgCell()
+    from slam_constructor_tpu.ops import grid as gridlib
+
+    gm = gridlib.make_grid_map(model, 96, 96, 0.1)
+    gm = raycast.insert_scan(gm, model, true_pose, s, raycast.BeamConfig())
+    view = scoring.MapView.of(gm, model)
+    prior = jnp.array([0.15, -1.4, 0.05])
+    sc = scoring.ScoringConfig(reducer="overlap")
+    p_prior = float(scoring.score_poses(view, s, prior[None], sc)[0])
+
+    res = matchers.MatchResult(pose=true_pose, prob=jnp.float32(0.9))
+    cfg_hi = gmapping.GMappingConfig(
+        min_match_prob=0.95,
+        matcher_cfg=matchers.MonteCarloConfig(scoring=sc),
+    )
+    gated = gmapping._gate_match(cfg_hi, view, s, res, prior)
+    np.testing.assert_allclose(np.asarray(gated.pose), np.asarray(prior))
+    np.testing.assert_allclose(float(gated.prob), p_prior, rtol=1e-6)
+
+    cfg_lo = gmapping.GMappingConfig(
+        min_match_prob=0.5,
+        matcher_cfg=matchers.MonteCarloConfig(scoring=sc),
+    )
+    passed = gmapping._gate_match(cfg_lo, view, s, res, prior)
+    np.testing.assert_allclose(np.asarray(passed.pose), np.asarray(true_pose))
+    np.testing.assert_allclose(float(passed.prob), 0.9, rtol=1e-6)

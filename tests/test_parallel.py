@@ -326,9 +326,13 @@ def test_ep_cow_matches_single_device():
     )
 
 
-def test_ep_gmapping_step_matches_unsharded_cow():
+@pytest.mark.parametrize("proposal", ["odom", "improved"])
+def test_ep_gmapping_step_matches_unsharded_cow(proposal):
     """Full EP RBPF step (per-device pools) == single shared-pool cow step:
-    same keys -> same trajectories, weights, and per-particle occupancy."""
+    same keys -> same trajectories, weights, and per-particle occupancy.
+    Parametrized over BOTH proposals (round-3 verdict task 5: the sharded
+    steps must support the improved proposal, not guard it away); the
+    improved variant also exercises the minimumScore gate."""
     from slam_constructor_tpu.ops import cow
     from slam_constructor_tpu.parallel import ep_cow
 
@@ -342,6 +346,8 @@ def test_ep_gmapping_step_matches_unsharded_cow():
     cfg = gmapping.GMappingConfig(
         n_particles=n_dev, map_height=96, map_width=96, map_storage="cow",
         tile_block=16, tile_capacity=1024, window_tiles=4,
+        proposal=proposal,
+        min_match_prob=0.3 if proposal == "improved" else 0.0,
     )
     m = meshlib.flat_mesh("chips")
 
@@ -452,12 +458,14 @@ def _mesh_2d(n_pgroups, n_bands):
     return Mesh(devs, ("pgroups", "bands"))
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
-def test_ep2d_gmapping_step_matches_unsharded_cow(shape):
+@pytest.mark.parametrize("shape,proposal", [
+    ((2, 4), "odom"), ((4, 2), "odom"), ((2, 4), "improved"),
+])
+def test_ep2d_gmapping_step_matches_unsharded_cow(shape, proposal):
     """Full RBPF step on the composed (pgroups x bands) mesh == the
     single-device shared-pool CoW step: same keys -> identical resample
     indices, poses, weights, and per-particle occupancy planes (VERDICT r2
-    task 8: EP x TP composition golden)."""
+    task 8: EP x TP composition golden; r3 task 5: improved proposal too)."""
     from slam_constructor_tpu.ops import cow
     from slam_constructor_tpu.parallel import ep2d
 
@@ -471,6 +479,8 @@ def test_ep2d_gmapping_step_matches_unsharded_cow(shape):
     cfg = gmapping.GMappingConfig(
         n_particles=2 * n_pg, map_height=128, map_width=128,
         map_storage="cow", tile_block=16, tile_capacity=1024, window_tiles=4,
+        proposal=proposal,
+        min_match_prob=0.3 if proposal == "improved" else 0.0,
     )
     m = _mesh_2d(n_pg, n_b)
 

@@ -332,3 +332,101 @@ def test_process_keyframes_matches_sequential():
             np.asarray(getattr(bat, name)), np.asarray(getattr(seq, name)),
             err_msg=name,
         )
+
+
+def test_process_keyframes_batched_path_matches_sequential():
+    """When batch width <= min_index_gap the batched detection path runs
+    (one vmap over all B x C matches) — same graph STRUCTURE as the
+    sequential add_keyframe/detect_loops loop (indices/counts/order
+    bitwise); edge values to fp tolerance (the nested vmap changes XLA's
+    reduction order, so match scores differ at the ulp level — measured
+    3e-8 on deltas; the score-curvature information estimate amplifies
+    that to ~3% relative)."""
+    from slam_constructor_tpu.ops import raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(48)
+    model = cells.BayesAvgCell()
+    cfg = pg.PoseGraphConfig(
+        max_keyframes=32, max_edges=64, keyframe_distance=0.2,
+        min_index_gap=4, loop_radius=3.0, max_candidates=2,
+        local_map_size=64, min_prob=0.1,
+    )
+    # out-and-back path: later keyframes revisit early ones -> real loops
+    xs = list(np.linspace(-1.0, 1.0, 6)) + list(np.linspace(1.0, -1.0, 6))
+    poses = [jnp.array([x, -1.5, 0.0]) for x in xs]
+    scans = [raycast.cast_rays(occ, origin, scale, p, bearings) for p in poses]
+
+    seq = pg.init_state(cfg, 48)
+    total_seq = 0
+    for p, s in zip(poses, scans):
+        seq = pg.add_keyframe(cfg, seq, p, s)
+        seq, nl = pg.detect_loops(cfg, model, seq, s, p)
+        total_seq += int(nl)
+    assert total_seq > 0, "test should produce real loop closures"
+
+    bat = pg.init_state(cfg, 48)
+    total_bat = 0
+    b = 4  # == min_index_gap -> batched path
+    for c0 in range(0, len(poses), b):
+        chunk_p = poses[c0:c0 + b]
+        chunk_s = scans[c0:c0 + b]
+        pad = b - len(chunk_p)
+        scans_b = jax.tree.map(
+            lambda *xs: jnp.stack(list(xs) + [xs[0]] * pad), *chunk_s
+        )
+        poses_b = jnp.stack(chunk_p + [chunk_p[0]] * pad)
+        valid = jnp.arange(b) < len(chunk_p)
+        bat, nl = jax.jit(
+            lambda st, sc, po, v: pg.process_keyframes(cfg, model, st, sc, po, v)
+        )(bat, scans_b, poses_b, valid)
+        total_bat += int(nl)
+
+    assert total_bat == total_seq
+    for name in ("kf_poses", "edge_i", "edge_j", "edge_is_loop", "n_kf",
+                 "n_edges", "last_kf"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(bat, name)), np.asarray(getattr(seq, name)),
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(bat.edge_delta), np.asarray(seq.edge_delta), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bat.edge_info), np.asarray(seq.edge_info), rtol=0.1
+    )
+
+
+def test_regenerate_map_batched_matches_sequential_fold():
+    """Additive-fold regeneration (parallel keyframe rasterization) must
+    reproduce the serial insert chain on BayesAvg cells (fp tolerance —
+    summation order differs by design)."""
+    from slam_constructor_tpu.ops import grid as gridlib
+    from slam_constructor_tpu.ops import raycast
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(48)
+    model = cells.BayesAvgCell()
+    cfg = pg.PoseGraphConfig(max_keyframes=8, max_edges=16)
+    st = pg.init_state(cfg, 48)
+    for i in range(5):
+        p = jnp.array([0.3 * i - 0.8, -1.5, 0.1 * i])
+        s = raycast.cast_rays(occ, origin, scale, p, bearings)
+        st = pg.add_keyframe(cfg, st, p, s)
+
+    beam = raycast.BeamConfig(wall_blur=True)
+    fresh = gridlib.make_grid_map(model, 96, 96, 0.1)
+    batched = pg.regenerate_map(cfg, model, st, fresh, beam)
+
+    serial = fresh
+    for i in range(cfg.max_keyframes):
+        s = jax.tree.map(lambda a: a[i], st.kf_scans)
+        s = s.replace(valid=s.valid & (i < st.n_kf))
+        serial = raycast.insert_scan(serial, model, st.kf_poses[i], s, beam)
+
+    np.testing.assert_allclose(
+        np.asarray(batched.cells), np.asarray(serial.cells),
+        rtol=1e-4, atol=1e-5,
+    )
