@@ -51,9 +51,18 @@ def _bilinear_kernel(plane_ref, rel_ref, unk_ref, out_ref):
 
     a = axis_weights(y, h)  # [C, H]
     b = axis_weights(x, w)  # [C, W]
+    # precision=HIGHEST: preferred_element_type only pins the ACCUMULATOR;
+    # without the precision pin the MXU truncates the OPERANDS to bf16
+    # (~1e-3 per-point error). That silent truncation was the round-3
+    # "Pallas sequential-tracking collapse": a one-shot probe showed max
+    # |diff| 6.7e-4 vs the exact matmul path (bf16-scale, not fp32-scale),
+    # and the systematic per-(pose, map) score bias broke the Monte-Carlo
+    # matcher's keep-if-better loop over a sequentially fed-back map —
+    # ATE collapsed to odometry level while one-shot checks looked "close".
     m = jax.lax.dot_general(
         a, plane_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [C, W]
     ssum = jnp.sum(m * b, axis=-1)
     coverage = jnp.sum(a, axis=-1) * jnp.sum(b, axis=-1)
