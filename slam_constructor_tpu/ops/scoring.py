@@ -287,19 +287,29 @@ def score_poses(
     world = apply_pose(poses[:, None, :], pts[None, :, :])  # [K, R, 2]
     rel = (world - view.origin) / view.scale  # fractional cell coords
 
-    # NOTE (r3): an 'auto'-prefers-Pallas rule for large views was tried
-    # and REVERTED. The Pallas sampler is ~1.5x faster than the one-hot
-    # matmul on full-map 256^2 scoring (0.080 vs 0.152 ms per 64x360
-    # eval, ~100% of the memory roofline — TPU_MEASURES pallas_ab/*) and
-    # a one-shot equivalence probe showed max |diff| 6.7e-4; but run
-    # SEQUENTIALLY in the tiny tracking loop on chip it collapsed ATE to
-    # odometry level (0.45 vs 0.07) while the matmul path tracked
-    # normally. Until that is root-caused, impl='pallas' stays explicit
-    # opt-in and 'auto' keeps the matmul path.
-    if (
-        cfg.impl == "pallas"
+    # ROOT CAUSE FOUND (r4): the r3 "Pallas sequential-tracking collapse"
+    # (ATE 0.45 vs 0.07 on chip; auto-flip reverted same-hour) was the
+    # kernel's dot_general running at DEFAULT MXU precision — operands
+    # silently truncated to bf16 (~1e-3 per-point bias; the one-shot probe's
+    # 6.7e-4 max |diff| was bf16-scale). preferred_element_type pins only
+    # the accumulator. With precision=HIGHEST in the kernel
+    # (pallas_kernels.py), measured on chip (TPU_MEASURES pallas_fix/*):
+    # max |diff| 6.0e-8, sequential tiny tracking BITWISE equal to the
+    # matmul path (traj maxdiff 0.0, ATE 0.0707 both), and still faster
+    # (2.56 vs 3.02 ms/step full-map tiny). 'auto' therefore prefers the
+    # VMEM sampler for LARGE exact-overlap f32 views again; the matmul
+    # path keeps the r3-measured win on small vmapped windows (pallas was
+    # 1.8x slower on the RBPF's 160^2 windows) and on bf16 configs.
+    auto_pallas = (
+        cfg.impl == "auto"
         and cfg.reducer == "overlap"
         and cfg.overlap_extent == 1.0
+        and cfg.dtype == "float32"
+        and jax.default_backend() == "tpu"
+        and h * w >= 200 * 200
+    )
+    if (cfg.impl == "pallas" or auto_pallas) and (
+        cfg.reducer == "overlap" and cfg.overlap_extent == 1.0
     ):
         from . import pallas_kernels
 
