@@ -91,6 +91,140 @@ def _between_np(a, b):
     return np.stack([x, y, th], axis=-1).astype(np.float32)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6, 7, 8, 9))
+def _segment_fused_fn(
+    tcfg: EngineConfig,
+    gcfg: pg.PoseGraphConfig,
+    densify_rounds: int,
+    opt_every: int,
+    max_kf: int,
+    kb: int,
+    state: SlamState,
+    last_kf_pose: jax.Array,
+    graph: pg.PoseGraphState,
+    pending: jax.Array,  # i32[] loop constraints since last optimize
+    scans: LaserScan,
+    odom: jax.Array,
+):
+    """ONE dispatch per segment: tracking + batched keyframe add/detect +
+    (conditional) closure burst, all device-resident.
+
+    Round-4 measurement: after the batched keyframe work landed, the full
+    preset's remaining cost was per-segment DISPATCHES — track + ~3
+    kf_batch + a loop-count fetch + a closure burst, each paying the axon
+    tunnel's 30-300 ms. This fuses the whole segment into one program; the
+    host fetches one results tuple per segment (poses for trajectory
+    anchors + counters) and only does capacity bookkeeping.
+
+    Keyframe selection: ``max_kf`` = the segment length, so EVERY flagged
+    scan is processed on-device, in ``kb``-wide batches (each exact per
+    process_keyframes' batched path when kb <= min_index_gap) under a
+    ``fori_loop`` whose empty batches cond-skip — one compiled batch
+    program regardless of how many keyframes a segment produces. (An
+    earlier draft capped max_kf below the segment length and let the host
+    add the overflow remainder AFTER the in-dispatch closure burst; those
+    keyframes' tracked poses were in the PRE-optimize frame while the
+    graph had moved — corrupted chain edges, lost loops, ATE 0.24 vs
+    0.07 on the quality bench. Keyframe work must complete before the
+    burst.)
+
+    The closure burst (densify + GN optimize + tracker re-anchor + map
+    regeneration) fires at most once per segment when ``pending`` crosses
+    ``opt_every`` — the same cadence the host loop had.
+
+    Returns ``(state, last_kf_pose, graph, pending, packed)`` —
+    ``last_kf_pose`` is the (possibly optimize-corrected) keyframe-gate
+    anchor; ``packed f32[S+1, 4]`` carries poses+flags and the segment
+    counters (new_loops, overflow latch, closed) in ONE fetchable array.
+    """
+    model = tcfg.cell_model
+    s_len = odom.shape[0]
+
+    def body(carry, inp):
+        st, last_kf = carry
+        scan, od = inp
+        st = slam_step(tcfg, st, scan, od)
+        is_kf = (
+            pose_distance(last_kf, st.pose, gcfg.keyframe_angle_weight)
+            > gcfg.keyframe_distance
+        )
+        last_kf = jnp.where(is_kf, st.pose, last_kf)
+        return (st, last_kf), (st.pose, is_kf)
+
+    (state, last_kf_pose), (poses, flags) = jax.lax.scan(
+        body, (state, last_kf_pose), (scans, odom)
+    )
+
+    n_batches = -(-max_kf // kb)
+    kf_idx = jnp.nonzero(flags, size=n_batches * kb, fill_value=s_len)[0]
+
+    def batch_body(bi, carry):
+        g, nl = carry
+        idx_b = jax.lax.dynamic_slice(kf_idx, (bi * kb,), (kb,))
+        valid_b = idx_b < s_len
+        idx_c = jnp.clip(idx_b, 0, s_len - 1)
+
+        def do_batch(g):
+            scans_k = jax.tree.map(lambda a: a[idx_c], scans)
+            return pg.process_keyframes(
+                gcfg, model, g, scans_k, poses[idx_c], valid_b
+            )
+
+        g, nl_b = jax.lax.cond(
+            valid_b.any(), do_batch, lambda g: (g, jnp.int32(0)), g
+        )
+        return g, nl + nl_b
+
+    graph, new_loops = jax.lax.fori_loop(
+        0, n_batches, batch_body, (graph, jnp.int32(0))
+    )
+    pending = pending + new_loops
+
+    # closure burst: at most once per segment, same cadence as the host loop
+    def burst(args):
+        g, st, pend = args
+        fresh = gridlib.make_grid_map(
+            model, tcfg.map_height, tcfg.map_width, tcfg.map_scale
+        )
+        last = g.last_kf
+        before = g.kf_poses[last]
+        extra = jnp.int32(0)
+        for _ in range(densify_rounds):
+            g, n_new = pg.densify_loops(gcfg, model, g)
+            extra = extra + n_new
+        g = pg.optimize(gcfg, g)
+        after = g.kf_poses[last]
+        new_pose = compose(after, between(before, st.pose))
+        gm = pg.regenerate_map(gcfg, model, g, fresh, beam=tcfg.beam)
+        return g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra, after
+
+    def no_burst(args):
+        g, st, pend = args
+        return g, st, pend, jnp.int32(0), last_kf_pose
+
+    closed = pending >= opt_every
+    graph, state, pending, extra_loops, last_kf_pose = jax.lax.cond(
+        closed, burst, no_burst, (graph, state, pending)
+    )
+    overflow = graph.kf_overflow | graph.edge_overflow
+    # ONE host-visible array per segment: rows 0..S-1 = [pose, flag];
+    # last row = [new_loops, overflow, closed, 0]. Every np.asarray is a
+    # tunnel round trip (~30-300 ms in bad windows), so the host must not
+    # fetch poses, flags, and counters separately.
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate([poses, flags[:, None].astype(jnp.float32)], 1),
+            jnp.array(
+                [[0.0, 0.0, 0.0, 0.0]], jnp.float32
+            ).at[0, 0].set((new_loops + extra_loops).astype(jnp.float32))
+            .at[0, 1].set(overflow.astype(jnp.float32))
+            .at[0, 2].set(closed.astype(jnp.float32)),
+        ],
+        axis=0,
+    )
+    return state, last_kf_pose, graph, pending, packed
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _kf_batch_fn(gcfg, model, graph, loops_acc, seg_scans, seg_poses, idx, valid):
     """Gather + add + detect + loop-count accumulate in ONE dispatch.
@@ -334,6 +468,104 @@ class FullSlamEngine:
                 self.pending_loops = 0
         return self.corrected_trajectory()
 
+    def run_segments_fused(self, scans: LaserScan, odom, segment: int = 128):
+        """Fully device-resident segments: ONE dispatch + ONE results fetch
+        per segment (tracking + keyframe batches + conditional closure
+        burst — see _segment_fused_fn). Every flagged scan is processed
+        on-device before the burst (max_kf = segment), so the semantics
+        match run_segments."""
+        import numpy as np
+
+        t = self.cfg.tracking
+        g_pending = jnp.int32(self.pending_loops)
+        n = int(odom.shape[0])
+        for s0 in range(0, n, segment):
+            s1 = min(s0 + segment, n)
+            seg_scans = jax.tree.map(lambda a: a[s0:s1], scans)
+            seg_odom = odom[s0:s1]
+            max_kf = s1 - s0
+            # capacity bound from the segment's odometric path length (a
+            # keyframe needs >= keyframe_distance of travel): 2x + slack
+            # covers matcher corrections. If a pathological segment still
+            # overflows, the device latch below fails loudly instead of
+            # silently dropping keyframes.
+            g = self.cfg.graph
+            od_np = np.asarray(seg_odom)
+            seg_dist = float(
+                np.linalg.norm(od_np[:, :2], axis=1).sum()
+                + g.keyframe_angle_weight * np.abs(od_np[:, 2]).sum()
+            )
+            kf_bound = min(
+                max_kf, int(2.0 * seg_dist / g.keyframe_distance) + 8
+            )
+            self._ensure_capacity(kf_bound)
+            (
+                self.state, self._last_kf_dev, self.graph, g_pending, packed,
+            ) = _segment_fused_fn(
+                t, self.cfg.graph, self.cfg.densify_rounds,
+                self.cfg.optimize_every_loops, max_kf, self.cfg.kf_batch,
+                self.state, self._last_kf_dev, self.graph, g_pending,
+                seg_scans, seg_odom,
+            )
+            # the ONE device->host sync of the segment
+            packed_np = np.asarray(packed)
+            poses_np = packed_np[:-1, :3]
+            flags_np = packed_np[:-1, 3] > 0.5
+            nl = int(packed_np[-1, 0])
+            overflow = packed_np[-1, 1] > 0.5
+            was_closed = packed_np[-1, 2] > 0.5
+            self.total_loops += nl
+            self._edges_upper_host += nl
+
+            n_flagged = int(flags_np.sum())
+            self._n_kf_host += n_flagged
+            self._edges_upper_host += (
+                (1 + self.cfg.graph.max_candidates) * n_flagged
+            )
+            if bool(overflow):  # rides the segment fetch — no extra sync
+                raise RuntimeError(
+                    "pose-graph capacity overflow inside a fused segment "
+                    "(keyframes were dropped on device): the odometry-based "
+                    "capacity bound was insufficient — raise "
+                    "PoseGraphConfig.max_keyframes/max_edges or shorten the "
+                    "segment"
+                )
+
+            # anchor bookkeeping (host-side, same as run_segments) — but
+            # keyframe indices cap at the placed count for this segment
+            s = s1 - s0
+            cur_pose = (
+                self._last_kf_pose_host
+                if self._last_kf_pose_host is not None
+                else np.zeros(3, np.float32)
+            )
+            # pre-segment keyframe count (the remainder path above already
+            # folded overflow keyframes into _n_kf_host)
+            kf_counter = self._n_kf_host - n_flagged
+            cur_idx = max(kf_counter - 1, 0)
+            anchor_idx = np.empty(s, np.int64)
+            anchor_pose = np.empty((s, 3), np.float32)
+            for i in range(s):
+                if flags_np[i]:
+                    cur_idx = kf_counter
+                    kf_counter += 1
+                    cur_pose = poses_np[i]
+                anchor_idx[i] = cur_idx
+                anchor_pose[i] = cur_pose
+            deltas = _between_np(anchor_pose, poses_np)
+            self._anchors.extend(
+                (int(anchor_idx[i]), deltas[i]) for i in range(s)
+            )
+            self.trajectory.extend(poses_np)
+            self._last_kf_pose_host = np.asarray(cur_pose)
+
+            if was_closed:
+                # the burst re-anchored the tracker; keep the host gate
+                # mirror consistent with the optimized keyframe
+                self._last_kf_pose_host = np.asarray(self._last_kf_dev)
+        self.pending_loops = int(g_pending)
+        return self.corrected_trajectory()
+
     def _close_loops(self):
         """Optimize the graph, re-anchor the tracker, regenerate the map."""
         if self.cfg.joint_refine_rounds == 0:
@@ -401,6 +633,10 @@ class FullSlamEngine:
         return compose(self.graph.kf_poses[idx], deltas)
 
     def run(self, scans: LaserScan, odom, segment: int = 64):
+        if self.cfg.joint_refine_rounds == 0:
+            # one dispatch + one fetch per segment (the joint-refine pass
+            # still runs host-side at closure rate on the unfused path)
+            return self.run_segments_fused(scans, odom, segment=segment)
         return self.run_segments(scans, odom, segment=segment)
 
     @property

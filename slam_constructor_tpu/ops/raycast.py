@@ -61,16 +61,19 @@ class BeamConfig:
     #: closer than the range of the beam covering its angle — an
     #: elementwise pass over the map, ~300x fewer FLOPs than scattering
     #: the DDA samples through the MXU one-hot path; assumes uniformly
-    #: spaced bearings), or 'auto' (polar on TPU — measured ~10-30x faster
-    #: per insert on v5e, TPU_MEASURES.jsonl — dda elsewhere).
-    #: Free-space only; endpoints keep their estimator.
+    #: spaced bearings), 'polar_pallas' (same math in ONE fused kernel
+    #: launch — the XLA polar pass is ~10 small launches and the insert is
+    #: launch-bound at 6.7% of its roofline, SOL_r03), or 'auto' (pallas
+    #: polar on TPU when the map shape divides the kernel block — measured
+    #: r4; dda elsewhere). Free-space only; endpoints keep their estimator.
     free_impl: str = "dda"
 
-    def resolved_free_impl(self) -> str:
+    def resolved_free_impl(self, h: int | None = None) -> str:
+        del h  # any map shape works (the lookup kernel pads internally)
         if self.free_impl == "auto":
             import jax
 
-            return "polar" if jax.default_backend() == "tpu" else "dda"
+            return "polar_pallas" if jax.default_backend() == "tpu" else "dda"
         return self.free_impl
 
     def n_free_samples(self, scale: float) -> int:
@@ -334,6 +337,60 @@ def _polar_free_plane(h, w, origin, scale, pose, scan: scanlib.LaserScan, cfg: B
     return jnp.where(free, wgt, 0.0)
 
 
+def _polar_free_plane_pallas(
+    h, w, origin, scale, pose, scan: scanlib.LaserScan, cfg: BeamConfig
+):
+    """``_polar_free_plane`` with the chunked lax.map range-lookup chain
+    (the launch-bound part — SOL_r03 measured insert at 6.7% of roofline
+    on launch overhead) collapsed into ONE Pallas launch
+    (``pallas_kernels.polar_free_lookup``). The trig planes (bearing bin,
+    distance, crossing weight) are computed by the SAME XLA expressions as
+    the polar path, so the result is bitwise-equal to ``free_impl='polar'``
+    (equivalence-tested, tests/test_raycast.py)."""
+    from . import pallas_kernels
+    from .geometry import wrap_angle
+
+    r = scan.bearings.shape[0]
+    ys = origin[1] + (jnp.arange(h, dtype=jnp.float32) + 0.5) * scale
+    xs = origin[0] + (jnp.arange(w, dtype=jnp.float32) + 0.5) * scale
+    dy = ys[:, None] - pose[1]
+    dx = xs[None, :] - pose[0]
+    d = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx) - pose[2]
+    b0 = scan.bearings[0]
+    db = (scan.bearings[-1] - b0) / jnp.maximum(r - 1, 1)
+    db = jnp.where(jnp.abs(db) < 1e-6, 1.0, db)
+    binf = wrap_angle(ang - b0) / db
+    bini = jnp.round(binf).astype(jnp.int32)
+    in_fov = (bini >= 0) & (bini <= r - 1)
+    full_circle = jnp.abs(db) * r >= 2.0 * jnp.pi - 1.5 * jnp.abs(db)
+    ok = in_fov | full_circle
+    bini = jnp.where(full_circle, jnp.mod(bini, r), jnp.clip(bini, 0, r - 1))
+    rng_inf = jnp.where(scan.valid, scan.ranges, jnp.inf)
+    prev_r = jnp.where(
+        full_circle, jnp.roll(rng_inf, 1),
+        jnp.concatenate([rng_inf[:1], rng_inf[:-1]]),
+    )
+    next_r = jnp.where(
+        full_circle, jnp.roll(rng_inf, -1),
+        jnp.concatenate([rng_inf[1:], rng_inf[-1:]]),
+    )
+    rng_eff = jnp.where(
+        scan.valid, jnp.minimum(scan.ranges, jnp.minimum(prev_r, next_r)), 0.0
+    )
+    wgt = (
+        2.0
+        * jnp.arctan(scale / (2.0 * jnp.maximum(d, scale * 0.5)))
+        / jnp.abs(db)
+    )
+    wgt_masked = jnp.where(ok, wgt, 0.0)
+    return pallas_kernels.polar_free_lookup(
+        rng_eff, bini, d, wgt_masked,
+        jnp.float32(cfg.hole_width / 2.0), jnp.float32(cfg.max_range),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     """Rasterize one scan from ``pose`` into observation planes.
 
@@ -348,7 +405,10 @@ def scan_observation_planes(gm, pose, scan: scanlib.LaserScan, cfg: BeamConfig):
     start = pose[:2]
 
     # --- free-space trace ---------------------------------------------------
-    if cfg.resolved_free_impl() == "polar":
+    free_impl = cfg.resolved_free_impl(h)
+    if free_impl == "polar_pallas":
+        w_free = _polar_free_plane_pallas(h, w, gm.origin, scale, pose, scan, cfg)
+    elif free_impl == "polar":
         w_free = _polar_free_plane(h, w, gm.origin, scale, pose, scan, cfg)
     else:
         n_s = cfg.n_free_samples(scale)

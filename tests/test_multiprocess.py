@@ -136,3 +136,36 @@ def test_fault_injection_detect_and_resume(tmp_path):
     assert got is not None, joined
     # deterministic resume: bit-identical to the uninterrupted run
     assert got == want, (got, want)
+
+
+@pytest.mark.slow
+def test_two_process_ep2d_equivalence():
+    """The composed EP x TP mesh across a REAL process boundary (2 procs x
+    2 local devices = (2 pgroups x 2 bands)): the improved-proposal RBPF
+    step must equal the single-process shared-pool CoW step (round-3
+    verdict task 9 — the comm-backend row's composed-mesh gap)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    worker = os.path.join(REPO, "scripts", "mp_ep2d_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("ep2d multi-process workers timed out")
+        outs.append(out)
+        assert p.returncode == 0, out
+    assert any("EQUIVALENT" in o for o in outs), outs

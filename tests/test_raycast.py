@@ -146,3 +146,62 @@ def test_polar_free_fill_partial_fov():
     assert free[:, :55].sum() == 0
     # ahead: plenty of free cells
     assert free[:, 65:].sum() > 100
+
+
+def test_polar_pallas_free_plane_matches_xla_polar():
+    """The fused one-launch Pallas range lookup (free_impl='polar_pallas')
+    must reproduce the XLA polar pass BITWISE: the trig planes feeding it
+    are computed by the same XLA expressions, and the in-kernel one-hot
+    lookup + selects are exact. (An earlier in-kernel-trig draft hit fp
+    knife edges at the free boundary — 1 cell in 12k — from XLA's FMA
+    contraction of d^2; structuring the kernel to consume the SAME planes
+    removed the tolerance entirely.)"""
+    import numpy as np
+
+    from slam_constructor_tpu.ops import cells as cellslib
+    from slam_constructor_tpu.ops import grid as gridlib
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    gm = gridlib.make_grid_map(cellslib.BayesAvgCell(), 96, 128, 0.1)
+    cfg = raycast.BeamConfig(wall_blur=True, free_impl="polar")
+    for nb in (360, 120, 90):
+        bearings = datagen.default_bearings(nb)
+        pose = jnp.array([0.3, -1.45, 0.7])
+        s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+        s = s.replace(valid=s.valid & (jnp.arange(nb) % 7 != 3))
+        a = np.asarray(
+            raycast._polar_free_plane(96, 128, gm.origin, 0.1, pose, s, cfg)
+        )
+        b = np.asarray(
+            raycast._polar_free_plane_pallas(
+                96, 128, gm.origin, 0.1, pose, s, cfg
+            )
+        )
+        np.testing.assert_array_equal(a, b, err_msg=f"{nb} beams")
+
+
+def test_insert_scan_polar_pallas_close_to_polar():
+    """Full insert through the pallas free lookup equals the polar insert
+    (same planes, same occupied evidence, same fold)."""
+    import numpy as np
+
+    from slam_constructor_tpu.ops import cells as cellslib
+    from slam_constructor_tpu.ops import grid as gridlib
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    model = cellslib.BayesAvgCell()
+    bearings = datagen.default_bearings(180)
+    pose = jnp.array([0.0, -1.5, 0.2])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    gm = gridlib.make_grid_map(model, 96, 128, 0.1)
+    a = raycast.insert_scan(
+        gm, model, pose, s, raycast.BeamConfig(wall_blur=True, free_impl="polar")
+    )
+    b = raycast.insert_scan(
+        gm, model, pose, s,
+        raycast.BeamConfig(wall_blur=True, free_impl="polar_pallas"),
+    )
+    diff = np.abs(np.asarray(a.cells) - np.asarray(b.cells))
+    assert (diff > 1e-4).sum() <= diff.size * 1e-3
