@@ -377,10 +377,19 @@ class FullSlamEngine:
         need_edges = self._edges_upper_host + edge_budget > g.max_edges
         if not (need_kf or need_edges):
             return
+
+        def fit(cap, need):
+            # doubling until the bound fits — one doubling is not enough
+            # for the fused path, whose per-segment bound can exceed a
+            # small initial capacity severalfold
+            while cap < need:
+                cap *= 2
+            return cap
+
         new_cfg, self.graph = pg.grow(
             g, self.graph,
-            max_keyframes=2 * g.max_keyframes if need_kf else g.max_keyframes,
-            max_edges=2 * g.max_edges if need_edges else g.max_edges,
+            max_keyframes=fit(g.max_keyframes, self._n_kf_host + n_new),
+            max_edges=fit(g.max_edges, self._edges_upper_host + edge_budget),
         )
         self.cfg = dataclasses.replace(self.cfg, graph=new_cfg)
         self._rejit()
