@@ -632,6 +632,82 @@ class FullSlamEngine:
         # keep the device-side gate consistent with the optimized keyframe
         self._last_kf_dev = jnp.asarray(self._last_kf_pose_host)
 
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the WHOLE pipeline — device pytrees (tracker state,
+        pose graph, keyframe-gate anchor) AND the host-side bookkeeping
+        (trajectory anchors, counters) — as one npz. The engine states
+        alone (utils.checkpoint) miss the host half: a resumed run would
+        lose the corrected-trajectory history and the capacity/pending
+        counters. Restore is bit-exact given the same config
+        (tests/test_full_pipeline.py)."""
+        import numpy as np
+
+        from ..utils import checkpoint as ckpt
+
+        dev = {
+            "state": self.state,
+            "graph": self.graph,
+            "last_kf_dev": self._last_kf_dev,
+        }
+        host = {
+            "pending_loops": self.pending_loops,
+            "total_loops": self.total_loops,
+            "n_kf_host": self._n_kf_host,
+            "edges_upper_host": self._edges_upper_host,
+            "last_kf_pose_host": (
+                None if self._last_kf_pose_host is None
+                else np.asarray(self._last_kf_pose_host).tolist()
+            ),
+            "anchor_idx": [int(a[0]) for a in self._anchors],
+        }
+        ckpt.save(path, dev)
+        anchor_deltas = (
+            np.stack([a[1] for a in self._anchors])
+            if self._anchors else np.zeros((0, 3), np.float32)
+        )
+        traj = (
+            np.stack([np.asarray(p) for p in self.trajectory])
+            if self.trajectory else np.zeros((0, 3), np.float32)
+        )
+        import json
+
+        np.savez_compressed(
+            path + ".host.npz", anchor_deltas=anchor_deltas, trajectory=traj,
+            meta=np.frombuffer(json.dumps(host).encode(), np.uint8),
+        )
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Inverse of :meth:`save_checkpoint` (same config required)."""
+        import json
+
+        import numpy as np
+
+        from ..utils import checkpoint as ckpt
+
+        dev = ckpt.restore(path, {
+            "state": self.state,
+            "graph": self.graph,
+            "last_kf_dev": self._last_kf_dev,
+        })
+        self.state = dev["state"]
+        self.graph = dev["graph"]
+        self._last_kf_dev = dev["last_kf_dev"]
+        hostf = np.load(path + ".host.npz")
+        host = json.loads(bytes(hostf["meta"]).decode())
+        self.pending_loops = host["pending_loops"]
+        self.total_loops = host["total_loops"]
+        self._n_kf_host = host["n_kf_host"]
+        self._edges_upper_host = host["edges_upper_host"]
+        self._last_kf_pose_host = (
+            None if host["last_kf_pose_host"] is None
+            else np.asarray(host["last_kf_pose_host"], np.float32)
+        )
+        deltas = hostf["anchor_deltas"]
+        self._anchors = [
+            (idx, deltas[i]) for i, idx in enumerate(host["anchor_idx"])
+        ]
+        self.trajectory = list(hostf["trajectory"])
+
     def corrected_trajectory(self) -> jax.Array:
         """Trajectory history re-anchored to the CURRENT (optimized)
         keyframe estimates — the post-loop-closure trajectory."""

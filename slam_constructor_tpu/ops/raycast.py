@@ -61,19 +61,22 @@ class BeamConfig:
     #: closer than the range of the beam covering its angle — an
     #: elementwise pass over the map, ~300x fewer FLOPs than scattering
     #: the DDA samples through the MXU one-hot path; assumes uniformly
-    #: spaced bearings), 'polar_pallas' (same math in ONE fused kernel
-    #: launch — the XLA polar pass is ~10 small launches and the insert is
-    #: launch-bound at 6.7% of its roofline, SOL_r03), or 'auto' (pallas
-    #: polar on TPU when the map shape divides the kernel block — measured
-    #: r4; dda elsewhere). Free-space only; endpoints keep their estimator.
+    #: spaced bearings), 'polar_pallas' (the range-lookup chain as ONE
+    #: Pallas launch — bitwise-equal to 'polar' but measured 5.5x SLOWER
+    #: on chip (SOL_r04 insert_tiny_blur_pallas 0.425 vs _polar 0.077 ms):
+    #: the per-sublane one-hot matvecs serialize inside the kernel while
+    #: XLA's chunked form vectorizes wide; kept as an opt-in reference
+    #: negative result — see DESIGN.md §13), or 'auto' (XLA polar on
+    #: TPU, dda elsewhere). Free-space only; endpoints keep their
+    #: estimator.
     free_impl: str = "dda"
 
     def resolved_free_impl(self, h: int | None = None) -> str:
-        del h  # any map shape works (the lookup kernel pads internally)
+        del h
         if self.free_impl == "auto":
             import jax
 
-            return "polar_pallas" if jax.default_backend() == "tpu" else "dda"
+            return "polar" if jax.default_backend() == "tpu" else "dda"
         return self.free_impl
 
     def n_free_samples(self, scale: float) -> int:

@@ -76,3 +76,35 @@ def test_full_pipeline_map_regenerated(loop_sequence):
     e.run(scans, odom)
     occ = np.asarray(e.occupancy)
     assert (occ > 0.6).sum() > 100  # walls present after regen
+
+
+def test_full_pipeline_checkpoint_resume(loop_sequence, tmp_path):
+    """Mid-run checkpoint -> resume must reproduce the uninterrupted run
+    bit-exactly: device pytrees AND host anchor/counter state round-trip
+    (SURVEY.md §5 checkpoint/resume, extended to the full pipeline)."""
+    scans, odom, gt = loop_sequence
+    import numpy as np
+
+    def make():
+        e = make_engine(n_beams=120)
+        e.state = e.state.replace(pose=gt[0])
+        return e
+
+    n = int(odom.shape[0])
+    half = n // 2
+
+    ref = make()
+    ref.run(scans, odom, segment=32)
+    want = np.asarray(ref.corrected_trajectory())
+
+    a = make()
+    a.run(jax.tree.map(lambda x: x[:half], scans), odom[:half], segment=32)
+    a.save_checkpoint(str(tmp_path / "ck"))
+
+    b = make()
+    b.restore_checkpoint(str(tmp_path / "ck"))
+    b.run(jax.tree.map(lambda x: x[half:], scans), odom[half:], segment=32)
+    got = np.asarray(b.corrected_trajectory())
+
+    np.testing.assert_array_equal(got, want)
+    assert b.total_loops == ref.total_loops
