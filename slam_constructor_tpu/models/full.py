@@ -91,7 +91,9 @@ def _between_np(a, b):
     return np.stack([x, y, th], axis=-1).astype(np.float32)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6, 7, 8, 9))
+@partial(
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6, 7, 8, 9, 10)
+)
 def _segment_fused_fn(
     tcfg: EngineConfig,
     gcfg: pg.PoseGraphConfig,
@@ -101,6 +103,7 @@ def _segment_fused_fn(
     kb: int,
     state: SlamState,
     last_kf_pose: jax.Array,
+    anchor_pose: jax.Array,  # f32[3] trajectory-anchor keyframe pose
     graph: pg.PoseGraphState,
     pending: jax.Array,  # i32[] loop constraints since last optimize
     scans: LaserScan,
@@ -132,16 +135,26 @@ def _segment_fused_fn(
     regeneration) fires at most once per segment when ``pending`` crosses
     ``opt_every`` — the same cadence the host loop had.
 
-    Returns ``(state, last_kf_pose, graph, pending, packed)`` —
-    ``last_kf_pose`` is the (possibly optimize-corrected) keyframe-gate
-    anchor; ``packed f32[S+1, 4]`` carries poses+flags and the segment
-    counters (new_loops, overflow latch, closed) in ONE fetchable array.
+    Trajectory anchors (which keyframe each scan hangs off, and the
+    body-frame delta) are computed ON DEVICE in the tracking scan — the
+    host no longer needs the per-segment poses at all, so the results
+    fetch can be deferred across ``sync_every`` segments and the segment
+    dispatches pipeline through JAX's async queue (round-4: after fusing
+    to one dispatch/segment, the per-segment fetch was the remaining
+    serialization).
+
+    Returns ``(state, last_kf_pose, anchor_pose, graph, pending, packed)``
+    — ``last_kf_pose`` is the (possibly optimize-corrected) keyframe-gate
+    anchor; ``packed f32[S+1, 8]`` rows are per-scan
+    ``[pose(3), flag, anchor_idx, delta(3)]`` with a final counter row
+    ``[new_loops, overflow, closed, n_kf, n_edges, 0, 0, 0]``.
     """
     model = tcfg.cell_model
     s_len = odom.shape[0]
+    base = graph.n_kf  # keyframe count BEFORE this segment's adds
 
     def body(carry, inp):
-        st, last_kf = carry
+        st, last_kf, anch, kf_cnt = carry
         scan, od = inp
         st = slam_step(tcfg, st, scan, od)
         is_kf = (
@@ -149,10 +162,21 @@ def _segment_fused_fn(
             > gcfg.keyframe_distance
         )
         last_kf = jnp.where(is_kf, st.pose, last_kf)
-        return (st, last_kf), (st.pose, is_kf)
+        kf_cnt = kf_cnt + is_kf.astype(jnp.int32)
+        anch = jnp.where(is_kf, st.pose, anch)
+        # trajectory anchor: the latest keyframe at record time (mirrors
+        # the host bookkeeping run_segments does from fetched flags)
+        a_idx = jnp.maximum(base + kf_cnt - 1, 0)
+        delta = between(anch, st.pose)
+        return (st, last_kf, anch, kf_cnt), (
+            st.pose, is_kf, a_idx.astype(jnp.float32), delta
+        )
 
-    (state, last_kf_pose), (poses, flags) = jax.lax.scan(
-        body, (state, last_kf_pose), (scans, odom)
+    (state, last_kf_pose, anchor_pose, _), (poses, flags, a_idx, deltas) = (
+        jax.lax.scan(
+            body, (state, last_kf_pose, anchor_pose, jnp.int32(0)),
+            (scans, odom),
+        )
     )
 
     n_batches = -(-max_kf // kb)
@@ -196,33 +220,46 @@ def _segment_fused_fn(
         after = g.kf_poses[last]
         new_pose = compose(after, between(before, st.pose))
         gm = pg.regenerate_map(gcfg, model, g, fresh, beam=tcfg.beam)
-        return g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra, after
+        # the gate AND the trajectory anchor both move to the optimized
+        # keyframe pose (post-burst scans must anchor their deltas off the
+        # corrected keyframe — the host bookkeeping did exactly this)
+        return g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra, after, after
 
     def no_burst(args):
         g, st, pend = args
-        return g, st, pend, jnp.int32(0), last_kf_pose
+        return g, st, pend, jnp.int32(0), last_kf_pose, anchor_pose
 
     closed = pending >= opt_every
-    graph, state, pending, extra_loops, last_kf_pose = jax.lax.cond(
-        closed, burst, no_burst, (graph, state, pending)
+    graph, state, pending, extra_loops, last_kf_pose, anchor_pose = (
+        jax.lax.cond(closed, burst, no_burst, (graph, state, pending))
     )
     overflow = graph.kf_overflow | graph.edge_overflow
-    # ONE host-visible array per segment: rows 0..S-1 = [pose, flag];
-    # last row = [new_loops, overflow, closed, 0]. Every np.asarray is a
-    # tunnel round trip (~30-300 ms in bad windows), so the host must not
-    # fetch poses, flags, and counters separately.
+    # ONE host-visible array per segment: rows 0..S-1 =
+    # [pose(3), flag, anchor_idx, delta(3)]; last row = counters. Every
+    # np.asarray is a tunnel round trip (~30-300 ms in bad windows), so
+    # the host must not fetch poses, flags, anchors, and counters
+    # separately — and with anchors on device it need not fetch per
+    # segment at all (the driver concatenates several segments' packed
+    # arrays on device and fetches once per sync_every).
+    counters = (
+        jnp.zeros((1, 8), jnp.float32)
+        .at[0, 0].set((new_loops + extra_loops).astype(jnp.float32))
+        .at[0, 1].set(overflow.astype(jnp.float32))
+        .at[0, 2].set(closed.astype(jnp.float32))
+        .at[0, 3].set(graph.n_kf.astype(jnp.float32))
+        .at[0, 4].set(graph.n_edges.astype(jnp.float32))
+    )
     packed = jnp.concatenate(
         [
-            jnp.concatenate([poses, flags[:, None].astype(jnp.float32)], 1),
-            jnp.array(
-                [[0.0, 0.0, 0.0, 0.0]], jnp.float32
-            ).at[0, 0].set((new_loops + extra_loops).astype(jnp.float32))
-            .at[0, 1].set(overflow.astype(jnp.float32))
-            .at[0, 2].set(closed.astype(jnp.float32)),
+            jnp.concatenate(
+                [poses, flags[:, None].astype(jnp.float32),
+                 a_idx[:, None], deltas], 1,
+            ),
+            counters,
         ],
         axis=0,
     )
-    return state, last_kf_pose, graph, pending, packed
+    return state, last_kf_pose, anchor_pose, graph, pending, packed
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -301,6 +338,12 @@ class FullConfig:
     #: costs ~30 ms PER CALL, so keyframe work is batched — see
     #: posegraph.process_keyframes)
     kf_batch: int = 8
+    #: fused path: device->host result syncs happen once per this many
+    #: segments (anchors are computed on device, so the host only needs
+    #: counters for capacity bookkeeping; deferring the fetch lets the
+    #: segment dispatches pipeline through JAX's async queue instead of
+    #: serializing on a ~30-300 ms tunnel round trip per segment)
+    sync_every: int = 4
 
     def __post_init__(self):
         if self.tracking is None:
@@ -334,6 +377,9 @@ class FullSlamEngine:
         )
         #: device-resident last-keyframe pose for the in-segment gate
         self._last_kf_dev = jnp.asarray(_NO_KF, jnp.float32)
+        #: device-resident trajectory-anchor pose (the fused path computes
+        #: anchors on device; init mirrors the host bookkeeping's zeros)
+        self._anchor_pose_dev = jnp.zeros(3, jnp.float32)
         #: host mirrors for anchor bookkeeping (no per-scan device sync)
         self._last_kf_pose_host = None
         self._n_kf_host = 0
@@ -477,27 +523,72 @@ class FullSlamEngine:
                 self.pending_loops = 0
         return self.corrected_trajectory()
 
+    def _drain_packed(self, pending_packed) -> None:
+        """Fetch + fold the queued segments' packed results: trajectory,
+        anchors (device-computed), counters. ONE concatenated device->host
+        transfer for the whole queue."""
+        import numpy as np
+
+        if not pending_packed:
+            return
+        arrs = [p for p, _ in pending_packed]
+        allp = np.asarray(
+            jnp.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
+        )
+        off = 0
+        for _, s in pending_packed:
+            rows = allp[off : off + s]
+            counters = allp[off + s]
+            off += s + 1
+            self.trajectory.extend(rows[:, :3])
+            self._anchors.extend(
+                (int(rows[i, 4]), rows[i, 5:8]) for i in range(s)
+            )
+            self.total_loops += int(counters[0])
+            if counters[1] > 0.5:
+                raise RuntimeError(
+                    "pose-graph capacity overflow inside a fused segment "
+                    "(keyframes were dropped on device): the odometry-based "
+                    "capacity bound was insufficient — raise "
+                    "PoseGraphConfig.max_keyframes/max_edges or shorten the "
+                    "segment"
+                )
+            # resync the host bounds to the device actuals
+            self._n_kf_host = int(counters[3])
+            self._edges_upper_host = int(counters[4])
+        pending_packed.clear()
+
     def run_segments_fused(self, scans: LaserScan, odom, segment: int = 128):
-        """Fully device-resident segments: ONE dispatch + ONE results fetch
-        per segment (tracking + keyframe batches + conditional closure
-        burst — see _segment_fused_fn). Every flagged scan is processed
-        on-device before the burst (max_kf = segment), so the semantics
-        match run_segments."""
+        """Fully device-resident segments: ONE dispatch per segment
+        (tracking + keyframe batches + conditional closure burst — see
+        _segment_fused_fn), results fetched once per ``sync_every``
+        segments (anchors are computed on device, so between syncs the
+        host only advances conservative capacity bounds and the segment
+        dispatches pipeline through the async queue). Every flagged scan
+        is processed on-device before the burst (max_kf = segment), so
+        the semantics match run_segments."""
         import numpy as np
 
         t = self.cfg.tracking
         g_pending = jnp.int32(self.pending_loops)
         n = int(odom.shape[0])
-        for s0 in range(0, n, segment):
+        pending_packed: list = []
+        if self._last_kf_pose_host is not None:
+            # pick up state left by the unfused path (they may interleave)
+            self._anchor_pose_dev = jnp.asarray(
+                self._last_kf_pose_host, jnp.float32
+            )
+        for si, s0 in enumerate(range(0, n, segment)):
             s1 = min(s0 + segment, n)
             seg_scans = jax.tree.map(lambda a: a[s0:s1], scans)
             seg_odom = odom[s0:s1]
             max_kf = s1 - s0
             # capacity bound from the segment's odometric path length (a
             # keyframe needs >= keyframe_distance of travel): 2x + slack
-            # covers matcher corrections. If a pathological segment still
-            # overflows, the device latch below fails loudly instead of
-            # silently dropping keyframes.
+            # covers matcher corrections. _n_kf_host/_edges_upper_host act
+            # as conservative UPPER bounds between syncs (they resync to
+            # device actuals at each drain); if a pathological segment
+            # still overflows, the device latch fails loudly at the drain.
             g = self.cfg.graph
             od_np = np.asarray(seg_odom)
             seg_dist = float(
@@ -509,70 +600,27 @@ class FullSlamEngine:
             )
             self._ensure_capacity(kf_bound)
             (
-                self.state, self._last_kf_dev, self.graph, g_pending, packed,
+                self.state, self._last_kf_dev, self._anchor_pose_dev,
+                self.graph, g_pending, packed,
             ) = _segment_fused_fn(
                 t, self.cfg.graph, self.cfg.densify_rounds,
                 self.cfg.optimize_every_loops, max_kf, self.cfg.kf_batch,
-                self.state, self._last_kf_dev, self.graph, g_pending,
-                seg_scans, seg_odom,
+                self.state, self._last_kf_dev, self._anchor_pose_dev,
+                self.graph, g_pending, seg_scans, seg_odom,
             )
-            # the ONE device->host sync of the segment
-            packed_np = np.asarray(packed)
-            poses_np = packed_np[:-1, :3]
-            flags_np = packed_np[:-1, 3] > 0.5
-            nl = int(packed_np[-1, 0])
-            overflow = packed_np[-1, 1] > 0.5
-            was_closed = packed_np[-1, 2] > 0.5
-            self.total_loops += nl
-            self._edges_upper_host += nl
-
-            n_flagged = int(flags_np.sum())
-            self._n_kf_host += n_flagged
-            self._edges_upper_host += (
-                (1 + self.cfg.graph.max_candidates) * n_flagged
+            pending_packed.append((packed, s1 - s0))
+            # advance the conservative bounds (drain resyncs to actuals)
+            self._n_kf_host += kf_bound
+            self._edges_upper_host += kf_bound * (1 + g.max_candidates) + (
+                self.cfg.densify_rounds * g.max_candidates
             )
-            if bool(overflow):  # rides the segment fetch — no extra sync
-                raise RuntimeError(
-                    "pose-graph capacity overflow inside a fused segment "
-                    "(keyframes were dropped on device): the odometry-based "
-                    "capacity bound was insufficient — raise "
-                    "PoseGraphConfig.max_keyframes/max_edges or shorten the "
-                    "segment"
-                )
-
-            # anchor bookkeeping (host-side, same as run_segments) — but
-            # keyframe indices cap at the placed count for this segment
-            s = s1 - s0
-            cur_pose = (
-                self._last_kf_pose_host
-                if self._last_kf_pose_host is not None
-                else np.zeros(3, np.float32)
-            )
-            # pre-segment keyframe count (the remainder path above already
-            # folded overflow keyframes into _n_kf_host)
-            kf_counter = self._n_kf_host - n_flagged
-            cur_idx = max(kf_counter - 1, 0)
-            anchor_idx = np.empty(s, np.int64)
-            anchor_pose = np.empty((s, 3), np.float32)
-            for i in range(s):
-                if flags_np[i]:
-                    cur_idx = kf_counter
-                    kf_counter += 1
-                    cur_pose = poses_np[i]
-                anchor_idx[i] = cur_idx
-                anchor_pose[i] = cur_pose
-            deltas = _between_np(anchor_pose, poses_np)
-            self._anchors.extend(
-                (int(anchor_idx[i]), deltas[i]) for i in range(s)
-            )
-            self.trajectory.extend(poses_np)
-            self._last_kf_pose_host = np.asarray(cur_pose)
-
-            if was_closed:
-                # the burst re-anchored the tracker; keep the host gate
-                # mirror consistent with the optimized keyframe
-                self._last_kf_pose_host = np.asarray(self._last_kf_dev)
+            if (si + 1) % max(self.cfg.sync_every, 1) == 0:
+                self._drain_packed(pending_packed)
+        self._drain_packed(pending_packed)
         self.pending_loops = int(g_pending)
+        # keep the unfused path's host mirror consistent (handle_scan and
+        # run_segments may interleave with fused runs)
+        self._last_kf_pose_host = np.asarray(self._anchor_pose_dev)
         return self.corrected_trajectory()
 
     def _close_loops(self):
@@ -648,6 +696,7 @@ class FullSlamEngine:
             "state": self.state,
             "graph": self.graph,
             "last_kf_dev": self._last_kf_dev,
+            "anchor_pose_dev": self._anchor_pose_dev,
         }
         host = {
             "pending_loops": self.pending_loops,
@@ -688,10 +737,12 @@ class FullSlamEngine:
             "state": self.state,
             "graph": self.graph,
             "last_kf_dev": self._last_kf_dev,
+            "anchor_pose_dev": self._anchor_pose_dev,
         })
         self.state = dev["state"]
         self.graph = dev["graph"]
         self._last_kf_dev = dev["last_kf_dev"]
+        self._anchor_pose_dev = dev["anchor_pose_dev"]
         hostf = np.load(path + ".host.npz")
         host = json.loads(bytes(hostf["meta"]).decode())
         self.pending_loops = host["pending_loops"]
