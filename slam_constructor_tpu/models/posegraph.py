@@ -22,6 +22,8 @@ BASELINE.json configs[3], new in this build). Design:
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -61,12 +63,15 @@ class PoseGraphConfig:
     #: keyframes into the local map (submap matching: richer structure,
     #: better loop deltas than single-scan maps)
     submap_radius: int = 1
-    #: matcher used to refine loop-closure relative poses. The BF grid is
-    #: the full pipeline's dominant per-keyframe cost (candidates x
-    #: submaps x grid) — 7^3 cells at beam stride 2 measured the SAME
-    #: 2-lap ATE (0.0705) and loop count as the 9^3/stride-1 grid at ~40%
-    #: less wall time (r3); raise the grid back for harder datasets.
-    loop_matcher: matcherslib.BruteForceConfig = matcherslib.BruteForceConfig(
+    #: matcher used to refine loop-closure relative poses: any key in
+    #: ops.matchers.MATCHERS (SURVEY §2.6: loop proposals reuse the
+    #: brute-force/M3RSM score kernels). The BF grid is the default: 7^3
+    #: cells at beam stride 2 measured the SAME 2-lap ATE (0.0705) and
+    #: loop count as the 9^3/stride-1 grid at ~40% less wall time (r3);
+    #: raise the grid back — or switch to 'm3rsm' for a global
+    #: branch-and-bound over larger windows — for harder datasets.
+    loop_matcher_kind: str = "brute_force"
+    loop_matcher: Any = matcherslib.BruteForceConfig(
         half_x=0.6, half_y=0.6, half_theta=0.3, n_x=7, n_y=7, n_theta=7,
         scoring=scoring.ScoringConfig(reducer="overlap", stride=2),
     )
@@ -412,9 +417,8 @@ def _detect_candidates(
     def match_cand(ci):
         gm = _render_local_map(cfg, model, st, ci)
         view = scoring.MapView.of(gm, model)
-        res = matcherslib.brute_force_match(
-            view, scan, pose, None, cfg.loop_matcher
-        )
+        _, loop_match_fn = matcherslib.MATCHERS[cfg.loop_matcher_kind]
+        res = loop_match_fn(view, scan, pose, None, cfg.loop_matcher)
         if cfg.estimate_loop_info:
             info = scoring.estimate_information(
                 view, scan, res.pose, cfg.loop_matcher.scoring
@@ -513,9 +517,8 @@ def densify_loops(
         view = scoring.MapView.of(gm, model)
         pose_j = st.kf_poses[cj]
         scan_j = jax.tree.map(lambda a: a[cj], st.kf_scans)
-        res = matcherslib.brute_force_match(
-            view, scan_j, pose_j, None, cfg.loop_matcher
-        )
+        _, loop_match_fn = matcherslib.MATCHERS[cfg.loop_matcher_kind]
+        res = loop_match_fn(view, scan_j, pose_j, None, cfg.loop_matcher)
         if cfg.estimate_loop_info:
             info = scoring.estimate_information(
                 view, scan_j, res.pose, cfg.loop_matcher.scoring

@@ -430,3 +430,55 @@ def test_regenerate_map_batched_matches_sequential_fold():
         np.asarray(batched.cells), np.asarray(serial.cells),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_loop_matcher_kind_m3rsm_detects_loops():
+    """PoseGraphConfig.loop_matcher_kind selects any registered matcher
+    for loop-closure refinement (SURVEY §2.6: reuse the BF/M3RSM score
+    kernels); the M3RSM branch-and-bound must find the same loop pairs the
+    BF grid does on a revisit trajectory."""
+    from slam_constructor_tpu.ops import m3rsm as m3rsmlib
+    from slam_constructor_tpu.ops import raycast, scoring as scoringlib
+    from slam_constructor_tpu.utils import datagen
+
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(60)
+    model = cells.BayesAvgCell()
+    common = dict(
+        max_keyframes=32, max_edges=64, keyframe_distance=0.2,
+        min_index_gap=4, loop_radius=3.0, max_candidates=2,
+        local_map_size=64, min_prob=0.1,
+    )
+    cfg_bf = pg.PoseGraphConfig(**common)
+    cfg_m3 = pg.PoseGraphConfig(
+        **common, loop_matcher_kind="m3rsm",
+        loop_matcher=m3rsmlib.M3RSMConfig(
+            levels=3, half_x=0.6, half_y=0.6, half_theta=0.3, n_theta=7,
+            scoring=scoringlib.ScoringConfig(reducer="overlap", stride=2),
+        ),
+    )
+    xs = list(np.linspace(-1.0, 1.0, 6)) + list(np.linspace(1.0, -1.0, 6))
+    poses = [jnp.array([x, -1.5, 0.0]) for x in xs]
+    scans = [raycast.cast_rays(occ, origin, scale, p, bearings) for p in poses]
+
+    def run(cfg):
+        st = pg.init_state(cfg, 60)
+        total = 0
+        for p_, s_ in zip(poses, scans):
+            st = pg.add_keyframe(cfg, st, p_, s_)
+            st, nl = pg.detect_loops(cfg, model, st, s_, p_)
+            total += int(nl)
+        return st, total
+
+    st_bf, n_bf = run(cfg_bf)
+    st_m3, n_m3 = run(cfg_m3)
+    assert n_bf > 0
+    assert n_m3 > 0, "m3rsm loop matcher found no loops"
+    pairs_bf = set(zip(np.asarray(st_bf.edge_i[: int(st_bf.n_edges)]).tolist(),
+                       np.asarray(st_bf.edge_j[: int(st_bf.n_edges)]).tolist()))
+    pairs_m3 = set(zip(np.asarray(st_m3.edge_i[: int(st_m3.n_edges)]).tolist(),
+                       np.asarray(st_m3.edge_j[: int(st_m3.n_edges)]).tolist()))
+    # the loop EDGE SETS should overlap substantially (both matchers see
+    # the same candidates; acceptance can differ at gate knife edges)
+    inter = pairs_bf & pairs_m3
+    assert len(inter) >= max(1, min(len(pairs_bf), len(pairs_m3)) - 2)
