@@ -211,10 +211,19 @@ def main():
         from slam_constructor_tpu.models import full, posegraph as pglib
         from slam_constructor_tpu.models import tiny as tinylib
 
+        # SLAM_BENCH_FULL_FAST=1: windowed fast tracker (tiny.fast_config,
+        # usable range 8 m + stride 2 — quality measured within the full-
+        # map default's band on the 3-seed 360-beam bench; the window
+        # shrinks matching's memory-bound sampling operands ~2.6x)
+        if os.environ.get("SLAM_BENCH_FULL_FAST"):
+            tracking = tinylib.fast_config(map_size=map_size, stride=2)
+        else:
+            tracking = tinylib.tiny_config(map_size=map_size)
+
         def make_full():
             e = full.FullSlamEngine(
                 full.FullConfig(
-                    tracking=tinylib.tiny_config(map_size=map_size),
+                    tracking=tracking,
                     graph=pglib.PoseGraphConfig(
                         keyframe_distance=0.7, min_index_gap=8,
                         max_candidates=4, local_map_size=120,

@@ -18,8 +18,11 @@ PY
   echo "probe $i/$N $(date +%H:%M): ${HB:-fail} GB/s"
   if python3 -c "import sys; sys.exit(0 if float('${HB:-0}') >= ${THRESH} else 1)" 2>/dev/null; then
     echo "HEALTHY — capturing full + gmapping $(date +%H:%M)"
-    for P in full gmapping; do
-      OUT=$(SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=$P timeout 1500 python bench.py 2>/dev/null | tail -1)
+    for P in full full_fast gmapping; do
+      EXTRA=""
+      PRESET=$P
+      if [ "$P" = full_fast ]; then PRESET=full; EXTRA=1; fi
+      OUT=$(SLAM_BENCH_NO_PROBE=1 SLAM_BENCH_PRESET=$PRESET SLAM_BENCH_FULL_FAST=$EXTRA timeout 1500 python bench.py 2>/dev/null | tail -1)
       if [ -n "$OUT" ]; then
         echo "$OUT" | python3 -c "
 import sys, json, time
