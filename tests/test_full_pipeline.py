@@ -108,3 +108,30 @@ def test_full_pipeline_checkpoint_resume(loop_sequence, tmp_path):
 
     np.testing.assert_array_equal(got, want)
     assert b.total_loops == ref.total_loops
+
+
+def test_full_pipeline_tbm_tracking(loop_sequence):
+    """The fused segment with a NON-additive cell model (TBM): submap
+    rendering and map regeneration take the sequential-fold path inside
+    the same program (cells.fold_additive gate) and the pipeline still
+    closes loops and beats odometry."""
+    from slam_constructor_tpu.models import viny
+
+    scans, odom, gt = loop_sequence
+    graph = pg.PoseGraphConfig(
+        max_keyframes=64, max_edges=256, keyframe_distance=0.7,
+        loop_radius=2.0, min_index_gap=8, min_prob=0.55, max_candidates=4,
+        local_map_size=120, gn_iterations=12,
+    )
+    e = full.FullSlamEngine(
+        full.FullConfig(
+            tracking=viny.viny_config(map_size=192, mc_batch=32, mc_rounds=10),
+            graph=graph,
+        ),
+        n_beams=120,
+    )
+    e.state = e.state.replace(pose=gt[0])
+    traj = e.run(scans, odom, segment=32)
+    ate = float(evaluate.ate(traj, gt[: traj.shape[0]], align=False))
+    assert e.total_loops > 0, "no loop closures with TBM tracking"
+    assert ate < 0.25, f"TBM full pipeline ATE {ate}"
