@@ -108,6 +108,18 @@ def variants():
     # spend part of stride-2's +41% headroom on search quality
     out["s2_b20"] = dataclasses.replace(base, matcher_cfg=_mc(20, 5, stride=2))
     out["s2_b24"] = dataclasses.replace(base, matcher_cfg=_mc(24, 5, stride=2))
+    # --- r4: fewer SERIAL annealing rounds at constant eval budget. The
+    # RBPF wall sits ~320 scans/s across every r4 chip window (388-926
+    # GB/s probes) — latency-bound on the 5 sequential MC rounds, not
+    # bandwidth-bound; a round costs ~1/5 of the match whatever the
+    # window. Candidates keep ~100 evals with the SHIPPED sigma .06/.03:
+    ship_mc = lambda b, r: matchers.MonteCarloConfig(
+        sigma_xy=0.06, sigma_theta=0.03, batch=b, rounds=r,
+        scoring=scoring.ScoringConfig(
+            reducer="overlap", window=1, dtype="float32", stride=2))
+    out["ship"] = dataclasses.replace(base, matcher_cfg=ship_mc(20, 5))
+    out["ship_r4b24"] = dataclasses.replace(base, matcher_cfg=ship_mc(24, 4))
+    out["ship_r3b32"] = dataclasses.replace(base, matcher_cfg=ship_mc(32, 3))
     out["s2_g12"] = dataclasses.replace(
         base, matcher_cfg=_mc(16, 5, stride=2), weight_gamma=12.0)
     out["s2_sig06"] = dataclasses.replace(
