@@ -132,8 +132,13 @@ def _segment_fused_fn(
     burst.)
 
     The closure burst (densify + GN optimize + tracker re-anchor + map
-    regeneration) fires at most once per segment when ``pending`` crosses
-    ``opt_every`` — the same cadence the host loop had.
+    regeneration) fires at KEYFRAME-BATCH cadence — after any kb-keyframe
+    batch whose detections push ``pending`` past ``opt_every``. That is
+    closer to the reference's per-keyframe optimize cadence than the host
+    loop's once-per-segment gate, and it decouples correction latency
+    from the segment length — segments can grow to the whole sequence
+    (one dispatch, monolithic-scan dispatch cost) without deferring
+    closures to the end.
 
     Trajectory anchors (which keyframe each scan hangs off, and the
     body-frame delta) are computed ON DEVICE in the tracking scan — the
@@ -182,31 +187,15 @@ def _segment_fused_fn(
     n_batches = -(-max_kf // kb)
     kf_idx = jnp.nonzero(flags, size=n_batches * kb, fill_value=s_len)[0]
 
-    def batch_body(bi, carry):
-        g, nl = carry
-        idx_b = jax.lax.dynamic_slice(kf_idx, (bi * kb,), (kb,))
-        valid_b = idx_b < s_len
-        idx_c = jnp.clip(idx_b, 0, s_len - 1)
-
-        def do_batch(g):
-            scans_k = jax.tree.map(lambda a: a[idx_c], scans)
-            return pg.process_keyframes(
-                gcfg, model, g, scans_k, poses[idx_c], valid_b
-            )
-
-        g, nl_b = jax.lax.cond(
-            valid_b.any(), do_batch, lambda g: (g, jnp.int32(0)), g
-        )
-        return g, nl + nl_b
-
-    graph, new_loops = jax.lax.fori_loop(
-        0, n_batches, batch_body, (graph, jnp.int32(0))
-    )
-    pending = pending + new_loops
-
-    # closure burst: at most once per segment, same cadence as the host loop
+    # closure burst: densify + GN optimize + tracker/gate/anchor re-anchor
+    # + map regeneration. Fires at BATCH cadence (after any kb-keyframe
+    # batch whose detections push ``pending`` past ``opt_every``) — closer
+    # to the reference's per-keyframe optimize cadence than the earlier
+    # per-segment gate, and what lets a SEGMENT grow to the whole sequence
+    # (one dispatch, monolithic-scan speed) without deferring every
+    # correction to the end.
     def burst(args):
-        g, st, pend = args
+        g, st, pend, lkf, anch = args
         fresh = gridlib.make_grid_map(
             model, tcfg.map_height, tcfg.map_width, tcfg.map_scale
         )
@@ -226,13 +215,38 @@ def _segment_fused_fn(
         return g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra, after, after
 
     def no_burst(args):
-        g, st, pend = args
-        return g, st, pend, jnp.int32(0), last_kf_pose, anchor_pose
+        g, st, pend, lkf, anch = args
+        return g, st, pend, jnp.int32(0), lkf, anch
 
-    closed = pending >= opt_every
-    graph, state, pending, extra_loops, last_kf_pose, anchor_pose = (
-        jax.lax.cond(closed, burst, no_burst, (graph, state, pending))
+    def batch_body(bi, carry):
+        g, nl, pend, st, lkf, anch = carry
+        idx_b = jax.lax.dynamic_slice(kf_idx, (bi * kb,), (kb,))
+        valid_b = idx_b < s_len
+        idx_c = jnp.clip(idx_b, 0, s_len - 1)
+
+        def do_batch(g):
+            scans_k = jax.tree.map(lambda a: a[idx_c], scans)
+            return pg.process_keyframes(
+                gcfg, model, g, scans_k, poses[idx_c], valid_b
+            )
+
+        g, nl_b = jax.lax.cond(
+            valid_b.any(), do_batch, lambda g: (g, jnp.int32(0)), g
+        )
+        pend = pend + nl_b
+        g, st, pend, extra, lkf, anch = jax.lax.cond(
+            pend >= opt_every, burst, no_burst, (g, st, pend, lkf, anch)
+        )
+        return g, nl + nl_b + extra, pend, st, lkf, anch
+
+    (graph, new_loops, pending, state, last_kf_pose, anchor_pose) = (
+        jax.lax.fori_loop(
+            0, n_batches, batch_body,
+            (graph, jnp.int32(0), pending, state, last_kf_pose, anchor_pose),
+        )
     )
+    extra_loops = jnp.int32(0)
+    closed = pending < opt_every  # diagnostics only (bursts are per batch)
     overflow = graph.kf_overflow | graph.edge_overflow
     # ONE host-visible array per segment: rows 0..S-1 =
     # [pose(3), flag, anchor_idx, delta(3)]; last row = counters. Every
@@ -578,6 +592,13 @@ class FullSlamEngine:
             self._anchor_pose_dev = jnp.asarray(
                 self._last_kf_pose_host, jnp.float32
             )
+        # fetch the WHOLE odometry once, before any dispatch: a per-segment
+        # np.asarray(seg_odom) looks free (it's an input slice) but the
+        # device stream orders it AFTER the previously queued segment, so
+        # every loop iteration silently waited compute + a 30-300 ms tunnel
+        # fetch — measured: segmented tracking at HALF the monolithic
+        # run_sequence rate with no graph work at all (seg_ab/* rows)
+        od_all = np.asarray(odom)
         for si, s0 in enumerate(range(0, n, segment)):
             s1 = min(s0 + segment, n)
             seg_scans = jax.tree.map(lambda a: a[s0:s1], scans)
@@ -590,7 +611,7 @@ class FullSlamEngine:
             # device actuals at each drain); if a pathological segment
             # still overflows, the device latch fails loudly at the drain.
             g = self.cfg.graph
-            od_np = np.asarray(seg_odom)
+            od_np = od_all[s0:s1]
             seg_dist = float(
                 np.linalg.norm(od_np[:, :2], axis=1).sum()
                 + g.keyframe_angle_weight * np.abs(od_np[:, 2]).sum()
