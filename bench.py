@@ -237,10 +237,13 @@ def main():
             )
             return e
 
-        # segment=128 halves the per-segment dispatch+sync overhead
-        # (~30 ms per tunnel round trip); 2-lap ATE measured identical
-        # (0.0705) at segments 64 and 128
-        seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 128))
+        # segment=512 = ONE fused dispatch for the whole sequence: closure
+        # bursts fire at keyframe-batch cadence inside it (r4), so
+        # correction latency no longer depends on the segment length —
+        # 2-lap ATE measured 0.0705-0.0709 from segment 64 up to the whole
+        # sequence, and each extra segment boundary costs a tunnel
+        # dispatch that in bad windows runs 100-300 ms
+        seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 512))
         # the shared bench trajectory covers <1 lap of the ~27 m rectangle
         # at these scan counts — no revisits, so loop closure would sit
         # idle. The full pipeline gets a 2-lap version of the same loop so
