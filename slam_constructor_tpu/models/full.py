@@ -106,8 +106,9 @@ def _segment_fused_fn(
     anchor_pose: jax.Array,  # f32[3] trajectory-anchor keyframe pose
     graph: pg.PoseGraphState,
     pending: jax.Array,  # i32[] loop constraints since last optimize
-    scans: LaserScan,
-    odom: jax.Array,
+    all_scans: LaserScan,
+    all_odom: jax.Array,
+    s0: jax.Array,  # i32[] segment start offset into all_scans/all_odom
 ):
     """ONE dispatch per segment: tracking + batched keyframe add/detect +
     (conditional) closure burst, all device-resident.
@@ -118,6 +119,14 @@ def _segment_fused_fn(
     tunnel's 30-300 ms. This fuses the whole segment into one program; the
     host fetches one results tuple per segment (poses for trajectory
     anchors + counters) and only does capacity bookkeeping.
+
+    Round-5: the segment takes the FULL sequence + a traced offset ``s0``
+    and slices ``max_kf`` scans inside the jit. The host-side per-segment
+    ``tree.map(lambda a: a[s0:s1], scans)`` looked free but each pytree
+    leaf's slice was its own device dispatch — 4 extra tunnel launches
+    (~30-300 ms each) per segment, the residual half of the seg_ab/* gap
+    (segmented-nograph ~255 vs monolithic ~554 scans/s) after r4's
+    odometry-fetch fix.
 
     Keyframe selection: ``max_kf`` = the segment length, so EVERY flagged
     scan is processed on-device, in ``kb``-wide batches (each exact per
@@ -155,7 +164,11 @@ def _segment_fused_fn(
     ``[new_loops, overflow, closed, n_kf, n_edges, 0, 0, 0]``.
     """
     model = tcfg.cell_model
-    s_len = odom.shape[0]
+    s_len = max_kf
+    scans = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, s0, s_len, 0), all_scans
+    )
+    odom = jax.lax.dynamic_slice_in_dim(all_odom, s0, s_len, 0)
     base = graph.n_kf  # keyframe count BEFORE this segment's adds
 
     def body(carry, inp):
@@ -195,7 +208,7 @@ def _segment_fused_fn(
     # (one dispatch, monolithic-scan speed) without deferring every
     # correction to the end.
     def burst(args):
-        g, st, pend, lkf, anch = args
+        g, st, pend, lkf, anch, ps = args
         last = g.last_kf
         before = g.kf_poses[last]
         before_all = g.kf_poses
@@ -224,17 +237,27 @@ def _segment_fused_fn(
         gm = jax.lax.cond(
             moved > 0.5 * tcfg.map_scale, do_regen, lambda st_gm: st_gm, st.gm
         )
+        # re-express the not-yet-processed tracked poses in the corrected
+        # frame (pose' = after ∘ before⁻¹ ∘ pose): keyframes added in
+        # batches AFTER this burst must carry post-optimize poses, else
+        # the chain edge bridging the burst mixes frames and loop
+        # detection centers its window on a stale pose (r4 advisor
+        # finding; the same frame-mixing hazard as the max_kf-cap draft)
+        ps = compose(after, between(before, ps))
         # the gate AND the trajectory anchor both move to the optimized
         # keyframe pose (post-burst scans must anchor their deltas off the
         # corrected keyframe — the host bookkeeping did exactly this)
-        return g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra, after, after
+        return (
+            g, st.replace(gm=gm, pose=new_pose), jnp.int32(0), extra,
+            after, after, ps,
+        )
 
     def no_burst(args):
-        g, st, pend, lkf, anch = args
-        return g, st, pend, jnp.int32(0), lkf, anch
+        g, st, pend, lkf, anch, ps = args
+        return g, st, pend, jnp.int32(0), lkf, anch, ps
 
     def batch_body(bi, carry):
-        g, nl, pend, st, lkf, anch = carry
+        g, nl, pend, st, lkf, anch, ps = carry
         idx_b = jax.lax.dynamic_slice(kf_idx, (bi * kb,), (kb,))
         valid_b = idx_b < s_len
         idx_c = jnp.clip(idx_b, 0, s_len - 1)
@@ -242,22 +265,23 @@ def _segment_fused_fn(
         def do_batch(g):
             scans_k = jax.tree.map(lambda a: a[idx_c], scans)
             return pg.process_keyframes(
-                gcfg, model, g, scans_k, poses[idx_c], valid_b
+                gcfg, model, g, scans_k, ps[idx_c], valid_b
             )
 
         g, nl_b = jax.lax.cond(
             valid_b.any(), do_batch, lambda g: (g, jnp.int32(0)), g
         )
         pend = pend + nl_b
-        g, st, pend, extra, lkf, anch = jax.lax.cond(
-            pend >= opt_every, burst, no_burst, (g, st, pend, lkf, anch)
+        g, st, pend, extra, lkf, anch, ps = jax.lax.cond(
+            pend >= opt_every, burst, no_burst, (g, st, pend, lkf, anch, ps)
         )
-        return g, nl + nl_b + extra, pend, st, lkf, anch
+        return g, nl + nl_b + extra, pend, st, lkf, anch, ps
 
-    (graph, new_loops, pending, state, last_kf_pose, anchor_pose) = (
+    (graph, new_loops, pending, state, last_kf_pose, anchor_pose, _) = (
         jax.lax.fori_loop(
             0, n_batches, batch_body,
-            (graph, jnp.int32(0), pending, state, last_kf_pose, anchor_pose),
+            (graph, jnp.int32(0), pending, state, last_kf_pose, anchor_pose,
+             poses),
         )
     )
     extra_loops = jnp.int32(0)
@@ -577,10 +601,12 @@ class FullSlamEngine:
             if counters[1] > 0.5:
                 raise RuntimeError(
                     "pose-graph capacity overflow inside a fused segment "
-                    "(keyframes were dropped on device): the odometry-based "
-                    "capacity bound was insufficient — raise "
-                    "PoseGraphConfig.max_keyframes/max_edges or shorten the "
-                    "segment"
+                    "(keyframes or edges were dropped on device): either "
+                    "the odometry-based keyframe bound or the per-burst "
+                    "edge budget (ceil(keyframes/kf_batch) bursts x "
+                    "densify_rounds x max_candidates edges) was "
+                    "insufficient — raise PoseGraphConfig.max_keyframes/"
+                    "max_edges or shorten the segment"
                 )
             # resync the host bounds to the device actuals
             self._n_kf_host = int(counters[3])
@@ -616,8 +642,6 @@ class FullSlamEngine:
         od_all = np.asarray(odom)
         for si, s0 in enumerate(range(0, n, segment)):
             s1 = min(s0 + segment, n)
-            seg_scans = jax.tree.map(lambda a: a[s0:s1], scans)
-            seg_odom = odom[s0:s1]
             max_kf = s1 - s0
             # capacity bound from the segment's odometric path length (a
             # keyframe needs >= keyframe_distance of travel): 2x + slack
@@ -635,6 +659,10 @@ class FullSlamEngine:
                 max_kf, int(2.0 * seg_dist / g.keyframe_distance) + 8
             )
             self._ensure_capacity(kf_bound)
+            # the segment slices its scans INSIDE the jit from the full
+            # device-resident sequence (traced offset): host-side pytree
+            # slicing cost 4 extra device dispatches per segment (r5 fix,
+            # see _segment_fused_fn docstring)
             (
                 self.state, self._last_kf_dev, self._anchor_pose_dev,
                 self.graph, g_pending, packed,
@@ -642,13 +670,18 @@ class FullSlamEngine:
                 t, self.cfg.graph, self.cfg.densify_rounds,
                 self.cfg.optimize_every_loops, max_kf, self.cfg.kf_batch,
                 self.state, self._last_kf_dev, self._anchor_pose_dev,
-                self.graph, g_pending, seg_scans, seg_odom,
+                self.graph, g_pending, scans, odom, np.int32(s0),
             )
             pending_packed.append((packed, s1 - s0))
-            # advance the conservative bounds (drain resyncs to actuals)
+            # advance the conservative bounds (drain resyncs to actuals).
+            # Bursts fire at keyframe-BATCH cadence, so a segment can run
+            # up to ceil(kf_bound/kf_batch) bursts of densify_rounds *
+            # max_candidates new edges each (r4 advisor finding: the
+            # one-burst-per-segment budget under-reserved).
+            n_bursts = -(-kf_bound // max(self.cfg.kf_batch, 1))
             self._n_kf_host += kf_bound
             self._edges_upper_host += kf_bound * (1 + g.max_candidates) + (
-                self.cfg.densify_rounds * g.max_candidates
+                n_bursts * self.cfg.densify_rounds * g.max_candidates
             )
             if (si + 1) % max(self.cfg.sync_every, 1) == 0:
                 self._drain_packed(pending_packed)
@@ -764,11 +797,28 @@ class FullSlamEngine:
     def restore_checkpoint(self, path: str) -> None:
         """Inverse of :meth:`save_checkpoint` (same config required)."""
         import json
+        import os
 
         import numpy as np
 
         from ..utils import checkpoint as ckpt
 
+        # validate BOTH halves exist before mutating any engine state: a
+        # partially copied snapshot (or one written by an older build
+        # without the host half) must not leave the engine half-restored
+        # (r4 advisor finding)
+        missing = [
+            p for p in (path, path + ".host.npz")
+            # utils.checkpoint appends .npz when absent from the dev path
+            if not (os.path.exists(p) or os.path.exists(p + ".npz"))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"full-pipeline checkpoint incomplete: missing {missing}; "
+                "save_checkpoint writes BOTH the device pytree npz and the "
+                "'.host.npz' bookkeeping half, and restore requires both "
+                "(same FullConfig as at save time)"
+            )
         dev = ckpt.restore(path, {
             "state": self.state,
             "graph": self.graph,

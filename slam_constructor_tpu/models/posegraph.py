@@ -70,6 +70,10 @@ class PoseGraphConfig:
     #: loop count as the 9^3/stride-1 grid at ~40% less wall time (r3);
     #: raise the grid back — or switch to 'm3rsm' for a global
     #: branch-and-bound over larger windows — for harder datasets.
+    #: NOTE (windowed M3RSM): M3RSMConfig.window > 0 requires the map dims
+    #: to be divisible by 2**levels (m3rsm_match raises at trace time
+    #: otherwise) — pick local_map_size aligned to the level count, or
+    #: use window=0 full-plane scoring.
     loop_matcher_kind: str = "brute_force"
     loop_matcher: Any = matcherslib.BruteForceConfig(
         half_x=0.6, half_y=0.6, half_theta=0.3, n_x=7, n_y=7, n_theta=7,
@@ -243,8 +247,12 @@ def process_keyframes(
     batch in ONE vmap (B x max_candidates submap renders + grid scores in
     parallel — the round-4 full-pipeline hot-path fix; the serial lax.scan
     left the MXU idle B-1/B of the time) and replays the edge appends in
-    sequential order, producing BITWISE the same graph as the sequential
-    loop (tests/test_posegraph.py).
+    sequential order, producing a bitwise-identical graph STRUCTURE
+    (keyframe/edge indices, counts, order) as the sequential loop; edge
+    values (delta/info) match to fp tolerance only — the batch-wide vmap
+    changes reduction order (tests/test_posegraph.py asserts atol=1e-6 on
+    deltas, rtol=0.1 on infos). Do not rely on bitwise edge values across
+    the two paths.
 
     Wider batches (or configs whose gap is smaller than the batch) fall
     back to the sequential ``lax.scan`` — keyframe i's detection must see

@@ -57,6 +57,11 @@ class M3RSMConfig:
     #: the scan's reach from anywhere in the search region: S/2 >=
     #: (max beam range)/scale + half_x/scale + 2^levels. Smaller windows
     #: clamp samples to unknown_prob exactly like the map edge does.
+    #: ALIGNMENT: window > 0 requires map dims divisible by 2**levels —
+    #: m3rsm_match raises ValueError at trace time otherwise (it used to
+    #: fall back silently to full-plane scoring). Loop-closure users
+    #: (PoseGraphConfig.loop_matcher_kind='m3rsm') must pick an aligned
+    #: local_map_size or keep window=0.
     window: int = 0
 
 
