@@ -1,0 +1,260 @@
+"""Round-5 speed-of-light capture -> SOL_r05.json — SELF-DESCRIBING rows.
+
+Fixes the three r4-verdict measurement-discipline findings:
+1. Every kernel row carries its OWN chip-health tag (bf16 matmul TFLOPs +
+   delivered HBM GB/s probed immediately before the row) — SOL_r04 was
+   captured in a degraded window (30.5 TFLOPs vs healthy 100+) and the
+   per-kernel numbers were uninterpretable without reading the header
+   probe (Weak #4).
+2. Negative/zero slopes are REFUSED: the row is written with
+   "jitter": true and no measured_ms instead of a negative time
+   (Weak #3: pallas_win rows committed at -1.45/-6.64 ms unflagged).
+3. The m3rsm probe runs at the EXACT shipped viny_m3rsm preset shapes
+   (viny.viny_m3rsm_config matcher_cfg + per-step pyramid build + 120
+   usable-range beams) next to the synthetic win128 probe, so the
+   kernel-level and preset-level M3RSM numbers reconcile (Weak #7: 3.59
+   ms/match ~ 278 matches/s vs the official row's 410.6 scans/s looked
+   impossible; the official preset matches a 4 m-range window with
+   refine, not the probe's full-range no-refine shape).
+
+Methodology unchanged from r4 (chained-carry fori_loop, per-iter ms =
+slope between INNER_LO and INNER_HI so the dispatch+fetch floor cancels).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from slam_constructor_tpu.models import gmapping, tiny, viny
+from slam_constructor_tpu.ops import grid as gridlib, m3rsm, raycast, scoring
+from slam_constructor_tpu.utils import datagen, profiling
+
+INNER_LO = int(os.environ.get("SOL_INNER_LO", 64))
+INNER_HI = int(os.environ.get("SOL_INNER_HI", 256))
+
+
+def timed_chain(make_body, carry, iters=5):
+    """Per-iteration ms via the slope between two inner-loop sizes; None
+    when the window shifted mid-measurement (t_hi <= t_lo)."""
+
+    def run(n):
+        f = jax.jit(
+            lambda c: jax.lax.fori_loop(0, n, lambda i, c_: make_body(c_), c)
+        )
+        out = f(carry)
+        jax.tree.map(lambda x: np.asarray(x).ravel()[:1], out)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = f(carry)
+            jax.tree.map(lambda x: np.asarray(x).ravel()[:1], out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo, t_hi = run(INNER_LO), run(INNER_HI)
+    if t_hi <= t_lo:
+        return None
+    return (t_hi - t_lo) / (INNER_HI - INNER_LO) * 1e3
+
+
+_MM = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
+_SAXPY = jnp.ones((48, 1024, 1024), jnp.float32)  # 192 MB, ~2x VMEM
+
+
+def _mk_probe(n_mm, n_sx):
+    @jax.jit
+    def f(x, s):
+        def body(i, c):
+            x_, s_ = c
+            x_ = jax.lax.fori_loop(
+                0, n_mm, lambda j, y: jnp.tanh(y @ _MM), x_)
+            s_ = jax.lax.fori_loop(
+                0, n_sx, lambda j, y: y * 0.999 + 0.001, s_)
+            return x_, s_
+        x, s = body(0, (x, s))
+        return x[0, 0], s[0, 0, 0]
+    return f
+
+
+def health_probe():
+    """Fast in-process chip-health pair (bf16 TFLOPs, HBM GB/s), slope-
+    timed so the tunnel's fetch floor cancels; ~2 s per call so it can
+    run before EVERY kernel row."""
+    x0 = jnp.ones((2048, 2048), jnp.bfloat16)
+
+    def run(n_mm, n_sx, f):
+        out = f(x0, _SAXPY)
+        jax.tree.map(lambda a: np.asarray(a), out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(x0, _SAXPY)
+            jax.tree.map(lambda a: np.asarray(a), out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo = run(4, 2, _probe_lo)
+    t_hi = run(16, 8, _probe_hi)
+    if t_hi <= t_lo:
+        return {"tflops_bf16": 0.0, "hbm_gbps": 0.0, "jitter": True}
+    # the hi-lo delta contains 12 extra matmuls AND 6 extra saxpy sweeps;
+    # split by timing the matmul-only pair
+    t_mlo = run(4, 0, _probe_mm_lo)
+    t_mhi = run(16, 0, _probe_mm_hi)
+    mm_ms = max((t_mhi - t_mlo) / 12, 1e-9)
+    sx_ms = max(((t_hi - t_lo) - (t_mhi - t_mlo)) / 6, 1e-9)
+    return {
+        "tflops_bf16": round(2 * 2048**3 / mm_ms / 1e12, 1),
+        "hbm_gbps": round(2 * _SAXPY.nbytes / sx_ms / 1e9, 1),
+    }
+
+
+_probe_lo = _mk_probe(4, 2)
+_probe_hi = _mk_probe(16, 8)
+_probe_mm_lo = _mk_probe(4, 0)
+_probe_mm_hi = _mk_probe(16, 0)
+
+
+def main():
+    cfg = tiny.tiny_config()
+    model = cfg.cell_model
+    occ, origin, scale = datagen.cecum_world()
+    bearings = datagen.default_bearings(360)
+    pose0 = jnp.array([-5.6, -1.6, 0.0])
+    s0 = raycast.cast_rays(occ, origin, scale, pose0, bearings)
+    gm = gridlib.make_grid_map(model, 256, 256, 0.1)
+    gm = raycast.insert_scan(gm, model, pose0, s0, cfg.beam)
+    view = scoring.MapView.of(gm, model)
+    h, w = view.occ.shape
+    r = s0.n_beams
+    k = 64
+    reports = []
+
+    def add(name, ms, flops=None, bytes_acc=None, **extra):
+        hp = health_probe()
+        if ms is None:
+            row = {"kernel": name, "jitter": True,
+                   "error": "window shifted mid-capture (negative slope)"}
+        elif flops is not None:
+            row = profiling.sol_report(name, ms / 1e3, flops, bytes_acc)
+        else:
+            row = {"kernel": name, "measured_ms": round(ms, 4)}
+        row.update(extra)
+        row["chip"] = hp
+        reports.append(row)
+        print(json.dumps(row), flush=True)
+
+    # --- scoring impls
+    for impl in ("matmul", "gather", "pallas"):
+        sc = scoring.ScoringConfig(reducer="overlap", impl=impl)
+
+        def body(cand, _sc=sc):
+            probs = scoring.score_poses(view, s0, cand, _sc)
+            return cand + 1e-12 * probs[:, None]
+
+        try:
+            ms = timed_chain(body, jnp.broadcast_to(pose0, (k, 3)) * 1.0)
+            n = k * r
+            add(f"score_{impl}", ms, 2.0 * n * h * w,
+                4.0 * (n * h + n * w + h * w + n * w))
+        except Exception as e:
+            reports.append({"kernel": f"score_{impl}", "error": str(e)[:80]})
+
+    # --- insert variants
+    import dataclasses as _dc
+    for name, bc in (
+        ("insert_tiny_blur", cfg.beam),
+        ("insert_tiny_blur_polar", _dc.replace(cfg.beam, free_impl="polar")),
+        ("insert_noblur", raycast.BeamConfig(
+            occupancy_estimator="const", hole_width=0.3, free_impl="polar")),
+    ):
+        def insert_body(g, _bc=bc):
+            p_dep = pose0 + 1e-12 * g.cells.ravel()[0]
+            return raycast.insert_scan(g, model, p_dep, s0, _bc)
+
+        ms = timed_chain(insert_body, gm)
+        n_samples = r * cfg.beam.n_free_samples(gm.scale)
+        add(name, ms, 2.0 * n_samples * (h + w),
+            4.0 * (2 * h * w + n_samples * 4))
+
+    # --- m3rsm synthetic probes (r4 shapes, for cross-round tracking)
+    pyr = m3rsm.build_pyramid(view, 4, 0.5)
+    for name, win in (("m3rsm_cached_full", 0), ("m3rsm_cached_win128", 128)):
+        mc = m3rsm.M3RSMConfig(levels=4, n_theta=9, beam_width=128,
+                               refine_iterations=0, window=win)
+
+        def body(p, _mc=mc):
+            res = m3rsm.m3rsm_match(view, s0, p, None, _mc, pyramid=pyr)
+            return p + 1e-12 * res.prob
+
+        add(name, timed_chain(body, pose0))
+
+    # --- m3rsm at the EXACT shipped viny_m3rsm shapes: TBM map, 4 m
+    # usable range (capped beams), per-iteration pyramid build (the preset
+    # rebuilds after every insert), shipped window/beam_width/refine
+    vcfg = viny.viny_m3rsm_config(map_size=256)
+    vmodel = vcfg.cell_model
+    s0v = raycast.cast_rays(
+        occ, origin, scale, pose0, bearings,
+        max_range=vcfg.beam.max_range)
+    gmv = gridlib.make_grid_map(vmodel, 256, 256, 0.1)
+    gmv = raycast.insert_scan(gmv, vmodel, pose0, s0v, vcfg.beam)
+    viewv = scoring.MapView.of(gmv, vmodel)
+
+    def body_ship(p):
+        pyrv = m3rsm.build_pyramid(
+            viewv, vcfg.matcher_cfg.levels,
+            vcfg.matcher_cfg.scoring.unknown_prob)
+        res = m3rsm.m3rsm_match(
+            viewv, s0v, p, None, vcfg.matcher_cfg, pyramid=pyrv)
+        return p + 1e-12 * res.prob
+
+    add("m3rsm_ship_viny_shapes", timed_chain(body_ship, pose0),
+        note="matcher_cfg of viny.viny_m3rsm_config(256): window="
+             f"{vcfg.matcher_cfg.window}, levels={vcfg.matcher_cfg.levels},"
+             f" n_theta={vcfg.matcher_cfg.n_theta}, refine="
+             f"{vcfg.matcher_cfg.refine_iterations}, 4 m usable range;"
+             " includes the per-step pyramid build")
+
+    # --- full RBPF fast step
+    gcfg = gmapping.fast_config(n_particles=30, map_size=256, usable_range=6.0)
+    st0 = gmapping.init_state(gcfg)
+    ms = timed_chain(
+        lambda st: gmapping.gmapping_step(gcfg, st, s0, jnp.zeros(3))[0], st0
+    )
+    add("gmapping_fast_step", ms,
+        implied_scans_per_sec=(round(1e3 / ms, 1) if ms else None))
+
+    # --- pose-graph GN
+    from slam_constructor_tpu.models import posegraph as pg
+    import tests.test_posegraph as tpg
+
+    st_g, _ = tpg._circle_graph(n=24, drift=0.05, seed=3)
+    ms = timed_chain(
+        lambda s: s.replace(kf_poses=pg.optimize(tpg.CFG, s).kf_poses), st_g
+    )
+    add("gn_optimize_24kf", ms)
+
+    out = {"round": 5, "backend": jax.default_backend(),
+           "inner": [INNER_LO, INNER_HI],
+           "methodology": "chained-carry fori_loop; per-iter ms = slope "
+                          "(t_hi - t_lo)/(hi - lo) so the dispatch+fetch "
+                          "floor cancels; EVERY row carries its own "
+                          "chip-health pair (bf16 TFLOPs / HBM GB/s probed "
+                          "immediately before it); negative slopes refused "
+                          "and written as jitter:true",
+           "ts": int(time.time()), "kernels": reports}
+    with open(os.path.join(REPO, "SOL_r05.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote SOL_r05.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
