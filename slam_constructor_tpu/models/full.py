@@ -159,9 +159,16 @@ def _segment_fused_fn(
 
     Returns ``(state, last_kf_pose, anchor_pose, graph, pending, packed)``
     — ``last_kf_pose`` is the (possibly optimize-corrected) keyframe-gate
-    anchor; ``packed f32[S+1, 8]`` rows are per-scan
-    ``[pose(3), flag, anchor_idx, delta(3)]`` with a final counter row
-    ``[new_loops, overflow, closed, n_kf, n_edges, 0, 0, 0]``.
+    anchor; ``packed f32[S+2, 8]`` rows are per-scan
+    ``[pose(3), flag, anchor_idx, delta(3)]``, then a counter row
+    ``[new_loops, overflow, closed, n_kf, n_edges, 0, 0, 0]``, then a
+    tail row ``[anchor_pose(3), last_kf_pose(3), pending, 0]`` — the tail
+    row exists so the HOST never reads ``pending``/``anchor_pose``/
+    ``last_kf_pose`` as separate device fetches (r5: every np.asarray is
+    its own ~30-300 ms tunnel round trip; the dissect3/4 rows proved the
+    whole "fused-segment tax" was exactly these per-leaf fetches, not
+    any in-program cost — kdyn0 with ZERO loop iterations timed the same
+    as 64 iterations once the output leaf count matched).
     """
     model = tcfg.cell_model
     s_len = max_kf
@@ -302,6 +309,12 @@ def _segment_fused_fn(
         .at[0, 3].set(graph.n_kf.astype(jnp.float32))
         .at[0, 4].set(graph.n_edges.astype(jnp.float32))
     )
+    tail = (
+        jnp.zeros((1, 8), jnp.float32)
+        .at[0, 0:3].set(anchor_pose)
+        .at[0, 3:6].set(last_kf_pose)
+        .at[0, 6].set(pending.astype(jnp.float32))
+    )
     packed = jnp.concatenate(
         [
             jnp.concatenate(
@@ -309,6 +322,7 @@ def _segment_fused_fn(
                  a_idx[:, None], deltas], 1,
             ),
             counters,
+            tail,
         ],
         axis=0,
     )
@@ -442,6 +456,9 @@ class FullSlamEngine:
         self._edges_upper_host = 0
         #: loop detections accumulate on device; fetched once per segment
         self._loops_dev = jnp.int32(0)
+        #: tail row of the last drained fused segment (anchor, last_kf,
+        #: pending) — lets end-of-run bookkeeping ride the drain fetch
+        self._last_tail = None
         self._rejit()
 
     def _rejit(self):
@@ -592,7 +609,8 @@ class FullSlamEngine:
         for _, s in pending_packed:
             rows = allp[off : off + s]
             counters = allp[off + s]
-            off += s + 1
+            tail = allp[off + s + 1]
+            off += s + 2
             self.trajectory.extend(rows[:, :3])
             self._anchors.extend(
                 (int(rows[i, 4]), rows[i, 5:8]) for i in range(s)
@@ -611,6 +629,10 @@ class FullSlamEngine:
             # resync the host bounds to the device actuals
             self._n_kf_host = int(counters[3])
             self._edges_upper_host = int(counters[4])
+            # the tail row folds pending/anchor/last_kf into the SAME
+            # fetch (separate int(pending)/np.asarray(anchor) syncs each
+            # cost a full tunnel round trip — r5 dissect finding)
+            self._last_tail = tail
         pending_packed.clear()
 
     def run_segments_fused(self, scans: LaserScan, odom, segment: int = 128):
@@ -628,6 +650,7 @@ class FullSlamEngine:
         g_pending = jnp.int32(self.pending_loops)
         n = int(odom.shape[0])
         pending_packed: list = []
+        self._last_tail = None  # set by _drain_packed from the tail rows
         if self._last_kf_pose_host is not None:
             # pick up state left by the unfused path (they may interleave)
             self._anchor_pose_dev = jnp.asarray(
@@ -672,7 +695,7 @@ class FullSlamEngine:
                 self.state, self._last_kf_dev, self._anchor_pose_dev,
                 self.graph, g_pending, scans, odom, np.int32(s0),
             )
-            pending_packed.append((packed, s1 - s0))
+            pending_packed.append((packed, max_kf))
             # advance the conservative bounds (drain resyncs to actuals).
             # Bursts fire at keyframe-BATCH cadence, so a segment can run
             # up to ceil(kf_bound/kf_batch) bursts of densify_rounds *
@@ -686,10 +709,17 @@ class FullSlamEngine:
             if (si + 1) % max(self.cfg.sync_every, 1) == 0:
                 self._drain_packed(pending_packed)
         self._drain_packed(pending_packed)
-        self.pending_loops = int(g_pending)
-        # keep the unfused path's host mirror consistent (handle_scan and
-        # run_segments may interleave with fused runs)
-        self._last_kf_pose_host = np.asarray(self._anchor_pose_dev)
+        # pending/anchor/last_kf ride the LAST drained packed's tail row —
+        # no extra device syncs at end-of-run (r5: int(g_pending) and
+        # np.asarray(anchor) were two more ~30-300 ms tunnel round trips
+        # per run; a fused one-segment run now costs dispatch + ONE fetch,
+        # the same event count as the monolithic tracker)
+        if self._last_tail is not None:
+            tail = self._last_tail
+            self.pending_loops = int(round(float(tail[6])))
+            # keep the unfused path's host mirror consistent (handle_scan
+            # and run_segments may interleave with fused runs)
+            self._last_kf_pose_host = np.asarray(tail[0:3], np.float32)
         return self.corrected_trajectory()
 
     def _close_loops(self):
