@@ -281,6 +281,18 @@ def main():
             out["chip_hbm_gbps"] = chip_hbm
         print(json.dumps(out))
         return
+    elif preset == "tiny_fast":
+        # reduced-eval tiny operating point (r4 tiny_rounds finding, gated
+        # on the r5 5-seed harness scripts/r5/tiny_multiseed.py: the
+        # tracker is eval-work-bound and 6 rounds x 64 candidates track
+        # within the ship config's ATE band): ~2x the r12b64 default's
+        # throughput at the same map/beam shapes
+        cfg = tiny.tiny_config(
+            map_size=map_size, mc_rounds=6, mc_batch=64, scoring_cfg=sc
+        )
+        state = eng.init_state(cfg)
+        run = lambda s: eng.run_sequence(cfg, s, scans, odom)
+        metric = "tiny_fast_scans_per_sec"
     else:
         mk = viny.viny_config if preset == "viny" else tiny.tiny_config
         cfg = mk(map_size=map_size, scoring_cfg=sc)

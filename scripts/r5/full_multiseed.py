@@ -48,7 +48,8 @@ BENCH_NOISE = dict(odom_noise_xy=0.01, odom_noise_theta=0.005)
 QUALITY_NOISE = dict(odom_noise_xy=0.02, odom_noise_theta=0.012)
 
 CASES = {
-    # name: (tracker factory, segment ('all' = whole sequence), noise)
+    # name: (tracker factory, segment ('all' = whole sequence), noise[,
+    #        FullConfig overrides])
     "default_s64_qn": (lambda: tiny.tiny_config(map_size=256), 64, QUALITY_NOISE),
     "default_s64_bn": (lambda: tiny.tiny_config(map_size=256), 64, BENCH_NOISE),
     "default_sall_bn": (lambda: tiny.tiny_config(map_size=256), "all", BENCH_NOISE),
@@ -56,6 +57,14 @@ CASES = {
         lambda: tiny.fast_config(map_size=256, stride=2), "all", BENCH_NOISE),
     "fast_s64_qn": (
         lambda: tiny.fast_config(map_size=256, stride=2), 64, QUALITY_NOISE),
+    # A/B of the r4-advisor post-burst pose re-expression (see
+    # FullConfig.burst_reexpress): reex on = the cases above
+    "reex_off_s64_qn": (
+        lambda: tiny.tiny_config(map_size=256), 64, QUALITY_NOISE,
+        dict(burst_reexpress=False)),
+    "reex_off_sall_bn": (
+        lambda: tiny.tiny_config(map_size=256), "all", BENCH_NOISE,
+        dict(burst_reexpress=False)),
 }
 
 
@@ -73,7 +82,9 @@ def main():
     bearings = datagen.default_bearings(BEAMS)
     n = posesq.shape[0]
     for name in which:
-        mk_tracking, seg, noise = CASES[name]
+        case = CASES[name]
+        mk_tracking, seg, noise = case[:3]
+        overrides = case[3] if len(case) > 3 else {}
         segment = n if seg == "all" else seg
         ates, loops = [], []
         for seed in SEEDS:
@@ -83,7 +94,7 @@ def main():
             e = full.FullSlamEngine(
                 full.FullConfig(
                     tracking=mk_tracking(), graph=GRAPH,
-                    optimize_every_loops=1,
+                    optimize_every_loops=1, **overrides,
                 ),
                 n_beams=BEAMS,
             )
@@ -102,8 +113,7 @@ def main():
             "ate_max": round(float(np.max(ates)), 4),
             "ate_all": ates,
             "loops": loops,
-            "noise": [CASES[name][2]["odom_noise_xy"],
-                      CASES[name][2]["odom_noise_theta"]],
+            "noise": [noise["odom_noise_xy"], noise["odom_noise_theta"]],
             "segment": segment,
             "backend": "device:" + jax.default_backend(),
             "ts": int(time.time()),

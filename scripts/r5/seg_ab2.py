@@ -26,9 +26,23 @@ from slam_constructor_tpu.models import engine as eng, full, posegraph as pglib,
 from slam_constructor_tpu.utils import datagen
 
 
+def probe_event_ms():
+    """Current tunnel dispatch+fetch latency (ONE tiny dispatch + ONE
+    fetch, compiled once): the event-cost context every segmented row
+    needs — the co-tenant window swings this 30-500 ms within minutes
+    and the segmented paths pay it per event while mono pays it twice."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((1,), jnp.float32)
+    float(np.asarray(f(x))[0])
+    t0 = time.perf_counter()
+    float(np.asarray(f(x))[0])
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
 def emit(name, extra):
     row = {"name": f"seg_ab2/{name}", "ts": time.time(),
-           "backend": jax.default_backend()}
+           "backend": jax.default_backend(),
+           "event_ms": probe_event_ms()}
     row.update(extra)
     print(json.dumps(row), flush=True)
     with open(os.path.join(REPO, "TPU_MEASURES.jsonl"), "a") as f:

@@ -92,7 +92,8 @@ def _between_np(a, b):
 
 
 @partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6, 7, 8, 9, 10)
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
+    donate_argnums=(7, 8, 9, 10, 11),
 )
 def _segment_fused_fn(
     tcfg: EngineConfig,
@@ -101,6 +102,7 @@ def _segment_fused_fn(
     opt_every: int,
     max_kf: int,
     kb: int,
+    reexpress: bool,
     state: SlamState,
     last_kf_pose: jax.Array,
     anchor_pose: jax.Array,  # f32[3] trajectory-anchor keyframe pose
@@ -250,7 +252,8 @@ def _segment_fused_fn(
         # the chain edge bridging the burst mixes frames and loop
         # detection centers its window on a stale pose (r4 advisor
         # finding; the same frame-mixing hazard as the max_kf-cap draft)
-        ps = compose(after, between(before, ps))
+        if reexpress:
+            ps = compose(after, between(before, ps))
         # the gate AND the trajectory anchor both move to the optimized
         # keyframe pose (post-burst scans must anchor their deltas off the
         # corrected keyframe — the host bookkeeping did exactly this)
@@ -405,6 +408,14 @@ class FullConfig:
     #: costs ~30 ms PER CALL, so keyframe work is batched — see
     #: posegraph.process_keyframes)
     kf_batch: int = 8
+    #: re-express not-yet-processed tracked poses in the optimized frame
+    #: after each in-segment closure burst (r4 advisor finding: without
+    #: it, keyframes added after a burst mix pre/post-optimize frames in
+    #: chain edges and loop detection centers on stale poses). Kept as a
+    #: knob because the correction also propagates the last-keyframe's
+    #: optimization noise into subsequent keyframe placement — A/B'd on
+    #: the 5-seed harness (scripts/r5/full_multiseed.py, full_ms_reex_*).
+    burst_reexpress: bool = True
     #: fused path: device->host result syncs happen once per this many
     #: segments (anchors are computed on device, so the host only needs
     #: counters for capacity bookkeeping; deferring the fetch lets the
@@ -692,6 +703,7 @@ class FullSlamEngine:
             ) = _segment_fused_fn(
                 t, self.cfg.graph, self.cfg.densify_rounds,
                 self.cfg.optimize_every_loops, max_kf, self.cfg.kf_batch,
+                self.cfg.burst_reexpress,
                 self.state, self._last_kf_dev, self._anchor_pose_dev,
                 self.graph, g_pending, scans, odom, np.int32(s0),
             )
