@@ -113,6 +113,41 @@ def speed(v):
             emit_measure(f"{name}_{rep}", {
                 "scans_per_sec": round(n / (time.perf_counter() - t0), 1)})
 
+        # multi-sequence batched wall (r4 verdict Next #3 fallback made an
+        # artifact): if per-sequence latency is floor-bound on serial
+        # annealing, the chip's spare FLOPs serve ADDITIONAL sequences at
+        # the same wall time — the official deployment scale-out claim.
+        for nseq in (2, 4):
+            cfg = v["ship"]
+            seqs = []
+            for s in range(nseq):
+                sc, od, _ = datagen.synth_sequence(
+                    occ, origin, scale, poses, datagen.default_bearings(BEAMS),
+                    jax.random.PRNGKey(s),
+                    odom_noise_xy=0.01, odom_noise_theta=0.005)
+                seqs.append((sc, od))
+            scans_b = jax.tree.map(lambda *xs: jnp.stack(xs), *[s for s, _ in seqs])
+            odom_b = jnp.stack([o for _, o in seqs])
+
+            def init_b():
+                sts = [gmapping.init_state(cfg, jax.random.PRNGKey(100 + s))
+                       for s in range(nseq)]
+                return jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+
+            run_b = jax.jit(jax.vmap(
+                lambda s_, sc_, od_: gmapping.run_sequence(cfg, s_, sc_, od_)))
+            out = run_b(init_b(), scans_b, odom_b)
+            np.asarray(out[1])
+            stb = init_b()
+            t0 = time.perf_counter()
+            out = run_b(stb, scans_b, odom_b)
+            np.asarray(out[1])
+            dt = time.perf_counter() - t0
+            emit_measure(f"ship_x{nseq}seq_{rep}", {
+                "scans_per_sec_total": round(nseq * n / dt, 1),
+                "scans_per_sec_per_seq": round(n / dt, 1),
+                "n_seq": nseq})
+
 
 def quality(v):
     occ, origin, scale = datagen.cecum_world()
