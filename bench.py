@@ -145,6 +145,22 @@ def _tpu_responsive() -> tuple[bool, int]:
         _time.sleep(interval)
 
 
+def _event_ms() -> float:
+    """Current tunnel dispatch+fetch latency (one tiny jitted call + one
+    scalar fetch). The chip's HBM GB/s and the tunnel's per-event latency
+    are INDEPENDENT health axes (r5 seg_chain finding: the full pipeline
+    costs 988 ms device-resident but bad-window rows read 3x that from
+    ~4 events at 300-500 ms each); official rows carry both."""
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((1,), jnp.float32)
+    float(np.asarray(f(x))[0])
+    t0 = time.perf_counter()
+    float(np.asarray(f(x))[0])
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
 def main():
     # 512 scans: the tunnel's device->host fetch latency reaches hundreds
     # of ms in bad windows; a longer device-resident sequence amortizes it
@@ -279,6 +295,8 @@ def main():
             out["probe_attempts"] = probe_attempts
         if chip_hbm is not None:
             out["chip_hbm_gbps"] = chip_hbm
+        if backend == "device":
+            out["event_ms"] = _event_ms()
         print(json.dumps(out))
         return
     elif preset == "tiny_fast":
@@ -332,6 +350,8 @@ def main():
         out["probe_attempts"] = probe_attempts
     if chip_hbm is not None:
         out["chip_hbm_gbps"] = chip_hbm
+    if backend == "device":
+        out["event_ms"] = _event_ms()
     print(json.dumps(out))
 
 
