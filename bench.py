@@ -228,9 +228,11 @@ def main():
         from slam_constructor_tpu.models import tiny as tinylib
 
         # SLAM_BENCH_FULL_FAST=1: windowed fast tracker (tiny.fast_config,
-        # usable range 8 m + stride 2 — quality measured within the full-
-        # map default's band on the 3-seed 360-beam bench; the window
-        # shrinks matching's memory-bound sampling operands ~2.6x)
+        # usable range 8 m + stride 2 — quality-neutral vs the default
+        # tracker on the committed 5-seed 360-beam bench: full_ms_fast_
+        # sall_bn 0.138/0.152 mean/max vs full_ms_default_sall_bn
+        # 0.131/0.142; the window shrinks matching's memory-bound
+        # sampling operands ~2.6x)
         if os.environ.get("SLAM_BENCH_FULL_FAST"):
             tracking = tinylib.fast_config(map_size=map_size, stride=2)
         else:
@@ -256,9 +258,10 @@ def main():
         # segment=512 = ONE fused dispatch for the whole sequence: closure
         # bursts fire at keyframe-batch cadence inside it (r4), so
         # correction latency no longer depends on the segment length —
-        # 2-lap ATE measured 0.0705-0.0709 from segment 64 up to the whole
-        # sequence, and each extra segment boundary costs a tunnel
-        # dispatch that in bad windows runs 100-300 ms
+        # 5-seed 2-lap ATE is segment-size-neutral (full_ms_default_
+        # sall_bn 0.131 whole-seq vs _s64_bn 0.149 mean, inside the seed
+        # spread), and each extra segment boundary costs a tunnel
+        # dispatch that in bad windows runs 100-500 ms
         seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 512))
         # the shared bench trajectory covers <1 lap of the ~27 m rectangle
         # at these scan counts — no revisits, so loop closure would sit

@@ -64,7 +64,7 @@ def main():
                     jax.random.PRNGKey(seed), **NOISES[nk])
                 st = eng.init_state(cfg)
                 st = st.replace(pose=gt[0])
-                _, traj = eng.run_sequence(cfg, st, scans, odom)
+                _, traj, _probs = eng.run_sequence(cfg, st, scans, odom)
                 ates.append(
                     round(float(evaluate.ate(traj, gt, align=False)), 4)
                 )
