@@ -303,11 +303,12 @@ def main():
         print(json.dumps(out))
         return
     elif preset == "tiny_fast":
-        # reduced-eval tiny operating point (r4 tiny_rounds finding, gated
-        # on the r5 5-seed harness scripts/r5/tiny_multiseed.py: the
-        # tracker is eval-work-bound and 6 rounds x 64 candidates track
-        # within the ship config's ATE band): ~2x the r12b64 default's
-        # throughput at the same map/beam shapes
+        # reduced-eval tiny operating point (r4 tiny_rounds finding,
+        # 5-seed-gated in r5): at BENCH noise r6b64 matches the r12b64
+        # ship config (tiny_ms_r6b64_bn 0.0721/0.0744 mean/max vs
+        # 0.0712/0.0719) for ~2x throughput. Under 2x odometry noise it
+        # grows an outlier seed (tiny_ms_r6b64_qn max 0.1289) — use
+        # mc_rounds=8 (0.0758/0.0794 qn) for noisy-odometry deployments.
         cfg = tiny.tiny_config(
             map_size=map_size, mc_rounds=6, mc_batch=64, scoring_cfg=sc
         )
