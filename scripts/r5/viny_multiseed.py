@@ -56,14 +56,15 @@ def variants():
             map_size=256,
             scoring_cfg=scoringlib.ScoringConfig(
                 reducer="overlap", window=1, stride=2)),
-        "m3_ship": viny.viny_m3rsm_config(map_size=256),
-        "m3_refine4": None,  # filled below
-        "m3_s2": viny.viny_m3rsm_config(map_size=256, stride=2),
+        # NOTE tag history: rows tagged m3_ship/m3_refine4/m3_s2 with ts
+        # <= 1787334207 are the r2-r4 defaults (range 4 / obstacle /
+        # stride 1) which FAILED this bench at ATE 3.8-3.9 — the r5
+        # quality fix (range 6 / overlap / stride 2) ships as the new
+        # viny_m3rsm_config default, captured as m3_r5fix.
+        "m3_r5fix": viny.viny_m3rsm_config(map_size=256),
+        "m3_old_r4": viny.viny_m3rsm_config(
+            map_size=256, usable_range=4.0, stride=1, reducer="obstacle"),
     }
-    m3 = viny.viny_m3rsm_config(map_size=256)
-    v["m3_refine4"] = dataclasses.replace(
-        m3, matcher_cfg=dataclasses.replace(m3.matcher_cfg,
-                                            refine_iterations=4))
     return v
 
 

@@ -23,9 +23,19 @@ def viny_config(
     min_insert_prob: float = 0.0,
     use_angle_histogram: bool = True,
     scoring_cfg: scoring.ScoringConfig | None = None,
+    stride: int = 2,
 ) -> EngineConfig:
+    """``stride``: matcher beam subsampling (the reference SPE's skip
+    knob). Default 2 as of r5: at 360-beam scans the committed 5-seed
+    rows are indistinguishable from stride 1 (viny_ms_s2_bn/_qn
+    0.1180/0.1175 mean vs ship 0.1178/0.1169) at +78% throughput
+    (viny_speed/s2 729-753 vs ship 408-420 scans/s same-window). For
+    sparse scans (<=120 beams) prefer stride=1 — the single-hypothesis
+    matcher has no particle diversity to absorb a lossy score (see
+    tiny.fast_config docstring)."""
     if scoring_cfg is None:
-        scoring_cfg = scoring.ScoringConfig(reducer="overlap", window=1)
+        scoring_cfg = scoring.ScoringConfig(
+            reducer="overlap", window=1, stride=stride)
     return EngineConfig(
         cell_model=cells.TBMCell(quality=quality, conflict_decay=conflict_decay),
         matcher="monte_carlo",
@@ -59,7 +69,7 @@ def make_engine(**kwargs) -> Engine:
 def viny_m3rsm_config(
     map_size: int = 256,
     map_scale: float = 0.1,
-    usable_range: float = 4.0,
+    usable_range: float = 6.0,
     quality: float = 0.5,
     hole_width: float = 0.3,
     levels: int = 4,
@@ -67,13 +77,25 @@ def viny_m3rsm_config(
     beam_width: int = 128,
     half_xy: float = 0.6,
     half_theta: float = 0.2,
-    stride: int = 1,
+    stride: int = 2,
     use_angle_histogram: bool = True,
+    reducer: str = "overlap",
 ) -> EngineConfig:
     """vinySLAM + the M3RSM global matcher at the single-chip operating
     point: usable-range-capped beams (GMapping's maxUrange discipline,
     shared with gmapping.fast_config) + a prior-centered search window
     sized so the windowed level scoring is EXACT (M3RSMConfig.window doc).
+
+    r5 QUALITY FIX: the r2-r4 defaults (usable_range=4, reducer=
+    'obstacle', stride=1) cleared the throughput bar but FAILED the
+    2-lap quality bench outright — 5-seed ATE 3.8-3.9 m on every seed
+    (viny_ms_m3_ship_* rows; the preset had only ever been speed-
+    benched). CPU bisect: range 4 diverges even with better scoring
+    (1.97/0.84 at overlap) — the cecum loop needs >= 6 m of reach; the
+    'obstacle' point-sample reducer alone costs 0.376 vs 0.071 at range
+    8. Shipped point: usable_range=6 + overlap + stride 2 = ATE
+    0.0705-0.0708 (3 CPU seeds, better than the plain viny preset),
+    refine stays 8 (refine 4 measured 0.0872 on one seed).
     """
     import math
 
@@ -90,7 +112,7 @@ def viny_m3rsm_config(
             half_x=half_xy, half_y=half_xy, half_theta=half_theta,
             n_theta=n_theta, levels=levels, beam_width=beam_width,
             window=window,
-            scoring=scoring.ScoringConfig(reducer="obstacle", stride=stride),
+            scoring=scoring.ScoringConfig(reducer=reducer, stride=stride),
         ),
         beam=raycast.BeamConfig(
             max_range=usable_range, occupancy_estimator="const",
