@@ -103,17 +103,25 @@ def health_probe():
     t_lo = run(4, 2, _probe_lo)
     t_hi = run(16, 8, _probe_hi)
     if t_hi <= t_lo:
-        return {"tflops_bf16": 0.0, "hbm_gbps": 0.0, "jitter": True}
+        return {"tflops_bf16": None, "hbm_gbps": None, "jitter": True}
     # the hi-lo delta contains 12 extra matmuls AND 6 extra saxpy sweeps;
-    # split by timing the matmul-only pair
+    # split by timing the matmul-only pair. Per-axis jitter: a
+    # non-positive slope on either axis is reported as None, never as a
+    # floored-division absurdity (the first r5 capture wrote 4e8 GB/s
+    # from a 1e-9 floor — exactly the discipline failure this file
+    # exists to prevent).
     t_mlo = run(4, 0, _probe_mm_lo)
     t_mhi = run(16, 0, _probe_mm_hi)
-    mm_ms = max((t_mhi - t_mlo) / 12, 1e-9)
-    sx_ms = max(((t_hi - t_lo) - (t_mhi - t_mlo)) / 6, 1e-9)
-    return {
-        "tflops_bf16": round(2 * 2048**3 / mm_ms / 1e12, 1),
-        "hbm_gbps": round(2 * _SAXPY.nbytes / sx_ms / 1e9, 1),
-    }
+    mm_s = (t_mhi - t_mlo) / 12
+    sx_s = ((t_hi - t_lo) - (t_mhi - t_mlo)) / 6
+    out = {}
+    out["tflops_bf16"] = (
+        round(2 * 2048**3 / mm_s / 1e12, 1) if mm_s > 1e-5 else None)
+    out["hbm_gbps"] = (
+        round(2 * _SAXPY.nbytes / sx_s / 1e9, 1) if sx_s > 1e-5 else None)
+    if None in out.values():
+        out["jitter"] = True
+    return out
 
 
 _probe_lo = _mk_probe(4, 2)
@@ -220,7 +228,8 @@ def main():
         note="matcher_cfg of viny.viny_m3rsm_config(256): window="
              f"{vcfg.matcher_cfg.window}, levels={vcfg.matcher_cfg.levels},"
              f" n_theta={vcfg.matcher_cfg.n_theta}, refine="
-             f"{vcfg.matcher_cfg.refine_iterations}, 4 m usable range;"
+             f"{vcfg.matcher_cfg.refine_iterations}, "
+             f"{vcfg.beam.max_range} m usable range;"
              " includes the per-step pyramid build")
 
     # --- full RBPF fast step
