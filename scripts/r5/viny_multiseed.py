@@ -48,14 +48,14 @@ def emit_measure(name, extra):
 
 def variants():
     v = {
+        # 'ship' = current viny_config() defaults. Tag history: rows with
+        # ts <= 1787334151 predate the r5 stride-2 default ('ship' was
+        # stride 1 there, 's2' was the stride-2 candidate).
         "ship": viny.viny_config(map_size=256),
+        "s1": viny.viny_config(map_size=256, stride=1),
         "r10b64": viny.viny_config(map_size=256, mc_rounds=10),
         "r8b64": viny.viny_config(map_size=256, mc_rounds=8),
         "r10b96": viny.viny_config(map_size=256, mc_rounds=10, mc_batch=96),
-        "s2": viny.viny_config(
-            map_size=256,
-            scoring_cfg=scoringlib.ScoringConfig(
-                reducer="overlap", window=1, stride=2)),
         # NOTE tag history: rows tagged m3_ship/m3_refine4/m3_s2 with ts
         # <= 1787334207 are the r2-r4 defaults (range 4 / obstacle /
         # stride 1) which FAILED this bench at ATE 3.8-3.9 — the r5

@@ -889,12 +889,31 @@ class FullSlamEngine:
 
     def corrected_trajectory(self) -> jax.Array:
         """Trajectory history re-anchored to the CURRENT (optimized)
-        keyframe estimates — the post-loop-closure trajectory."""
+        keyframe estimates — the post-loop-closure trajectory.
+
+        Host-side numpy on purpose: the anchors live in host lists, and
+        the former ``jnp.stack`` over 512 per-scan rows compiled a
+        512-operand device program whose transfer+execute measured
+        0.6-2.2 s per run through the tunnel (seg_phase/* rows —
+        traj_build+traj_fetch was the LARGEST single cost of a fused
+        run, bigger than the whole 988 ms SLAM program). One kf_poses
+        fetch + numpy compose is ~30 ms."""
+        import numpy as np
+
         if not self._anchors:
             return jnp.zeros((0, 3))
-        idx = jnp.asarray([a[0] for a in self._anchors], jnp.int32)
-        deltas = jnp.stack([a[1] for a in self._anchors])
-        return compose(self.graph.kf_poses[idx], deltas)
+        kf = np.asarray(self.graph.kf_poses)  # the ONE device fetch
+        idx = np.asarray([a[0] for a in self._anchors], np.int64)
+        deltas = np.stack([np.asarray(a[1]) for a in self._anchors])
+        a = kf[idx]
+        c, s = np.cos(a[:, 2]), np.sin(a[:, 2])
+        x = a[:, 0] + c * deltas[:, 0] - s * deltas[:, 1]
+        y = a[:, 1] + s * deltas[:, 0] + c * deltas[:, 1]
+        raw = a[:, 2] + deltas[:, 2]
+        th = np.arctan2(np.sin(raw), np.cos(raw))  # geometry.wrap_angle
+        return jnp.asarray(
+            np.stack([x, y, th], axis=-1).astype(np.float32)
+        )
 
     def run(self, scans: LaserScan, odom, segment: int = 64):
         if self.cfg.joint_refine_rounds == 0:
