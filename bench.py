@@ -227,13 +227,15 @@ def main():
         from slam_constructor_tpu.models import full, posegraph as pglib
         from slam_constructor_tpu.models import tiny as tinylib
 
-        # SLAM_BENCH_FULL_FAST=1: windowed fast tracker (tiny.fast_config,
-        # usable range 8 m + stride 2 — quality-neutral vs the default
-        # tracker on the committed 5-seed 360-beam bench: full_ms_fast_
+        # Windowed fast tracker (tiny.fast_config, usable range 8 m +
+        # stride 2) is the r5 DEFAULT: quality-neutral vs the full-map
+        # tracker on the committed 5-seed 360-beam bench (full_ms_fast_
         # sall_bn 0.138/0.152 mean/max vs full_ms_default_sall_bn
         # 0.131/0.142; the window shrinks matching's memory-bound
-        # sampling operands ~2.6x)
-        if os.environ.get("SLAM_BENCH_FULL_FAST"):
+        # sampling operands ~2.6x). SLAM_BENCH_FULL_FAST=0 runs the
+        # full-map tracker (captured side-by-side as full_plain in
+        # scripts/r5/capture_all.py).
+        if os.environ.get("SLAM_BENCH_FULL_FAST", "1") not in ("", "0"):
             tracking = tinylib.fast_config(map_size=map_size, stride=2)
         else:
             tracking = tinylib.tiny_config(map_size=map_size)

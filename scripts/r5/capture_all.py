@@ -40,7 +40,9 @@ def health():
 
 def main():
     presets = os.environ.get(
-        "PRESETS", "tiny,tiny_fast,viny,viny_m3rsm,gmapping,full").split(",")
+        "PRESETS",
+        "tiny,tiny_fast,viny,viny_m3rsm,gmapping,full,full_plain",
+    ).split(",")
     min_hbm = float(os.environ.get("MIN_HBM", 400))
     max_ev = float(os.environ.get("MAX_EVENT_MS", 120))
     hbm, ev = health()
@@ -53,6 +55,8 @@ def main():
     for preset in presets:
         env = dict(os.environ, SLAM_BENCH_NO_PROBE="1",
                    SLAM_BENCH_PRESET=preset)
+        if preset == "full_plain":
+            env.update(SLAM_BENCH_PRESET="full", SLAM_BENCH_FULL_FAST="0")
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
