@@ -118,9 +118,16 @@ def main():
         odo.append(p)
     report("odometry_only", jnp.stack(odo), time.perf_counter())
 
+    from slam_constructor_tpu.models.engine import Engine as _Engine
+
     for name, make in [
         ("tiny", lambda: tiny.make_engine(mc_batch=48, mc_rounds=12)),
         ("viny", lambda: viny.make_engine(mc_batch=48, mc_rounds=12)),
+        # every preset with an official throughput row gets a quality leg
+        # here — viny_m3rsm was absent through r4 and its 10.3x rows
+        # shipped with a preset that diverged (r5 fix: range 6 + overlap;
+        # see viny.viny_m3rsm_config docstring)
+        ("viny_m3rsm", lambda: _Engine(viny.viny_m3rsm_config())),
     ]:
         e = make()
         e.state = e.state.replace(pose=gt[0])
