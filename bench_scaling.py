@@ -21,6 +21,12 @@ import numpy as np
 
 def main():
     import jax
+
+    if os.environ.get("SLAM_SCALING_CPU"):
+        # the axon plugin overrides the JAX_PLATFORMS env var (CLAUDE.md);
+        # only the in-Python config reliably forces the virtual-device
+        # CPU mesh for the rehearsal
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from slam_constructor_tpu.models import gmapping
