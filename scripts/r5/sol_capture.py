@@ -258,7 +258,10 @@ def main():
                           "floor cancels; EVERY row carries its own "
                           "chip-health pair (bf16 TFLOPs / HBM GB/s probed "
                           "immediately before it); negative slopes refused "
-                          "and written as jitter:true",
+                          "and written as jitter:true; per-row chip tags "
+                          "are ~2 s spot probes (3-sample medians) with "
+                          "high variance on a co-tenanted chip — "
+                          "comparative window context, not absolute specs",
            "ts": int(time.time()), "kernels": reports}
     with open(os.path.join(REPO, "SOL_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
