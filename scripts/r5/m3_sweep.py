@@ -23,10 +23,14 @@ from slam_constructor_tpu.models import engine as eng, viny
 from slam_constructor_tpu.utils import datagen, evaluate
 
 SEEDS = [int(s) for s in os.environ.get("SEEDS", "42,7,19,101,202").split(",")]
+# distinguishes capture generations (e.g. SUFFIX=dda after the r5
+# free_impl fix) so re-runs never shadow committed rows
+SUFFIX = os.environ.get("SUFFIX", "")
 
 
 def emit_measure(name, extra):
-    row = {"name": f"m3_sweep/{name}", "ts": time.time(),
+    row = {"name": f"m3_sweep/{name}{('_' + SUFFIX) if SUFFIX else ''}",
+           "ts": time.time(),
            "backend": jax.default_backend()}
     row.update(extra)
     print(json.dumps(row), flush=True)
@@ -101,7 +105,10 @@ def quality(v, names):
                     round(float(evaluate.ate(traj, gt, align=False)), 4))
             emit_variant({
                 "metric": "viny_ate_multiseed",
-                "tag": f"viny_ms_m3sw_{name}_{nk}",
+                "tag": "viny_ms_m3sw_"
+                + name
+                + (("_" + SUFFIX) if SUFFIX else "")
+                + f"_{nk}",
                 "seeds": SEEDS,
                 "ate_mean": round(float(np.mean(ates)), 4),
                 "ate_max": round(float(np.max(ates)), 4),

@@ -86,16 +86,22 @@ def viny_m3rsm_config(
     shared with gmapping.fast_config) + a prior-centered search window
     sized so the windowed level scoring is EXACT (M3RSMConfig.window doc).
 
-    r5 QUALITY FIX: the r2-r4 defaults (usable_range=4, reducer=
-    'obstacle', stride=1) cleared the throughput bar but FAILED the
-    2-lap quality bench outright — 5-seed ATE 3.8-3.9 m on every seed
-    (viny_ms_m3_ship_* rows; the preset had only ever been speed-
-    benched). CPU bisect: range 4 diverges even with better scoring
-    (1.97/0.84 at overlap) — the cecum loop needs >= 6 m of reach; the
-    'obstacle' point-sample reducer alone costs 0.376 vs 0.071 at range
-    8. Shipped point: usable_range=6 + overlap + stride 2 = ATE
-    0.0705-0.0708 (3 CPU seeds, better than the plain viny preset),
-    refine stays 8 (refine 4 measured 0.0872 on one seed).
+    r5 QUALITY FIX, two independent root causes (the preset had only
+    ever been speed-benched — r4 Weak #8):
+    1. Config: the r2-r4 defaults (usable_range=4, reducer='obstacle',
+       stride=1) fail even on CPU — range 4 diverges with any scoring
+       (1.97/0.84 at overlap; the cecum loop needs >= 6 m of reach) and
+       the 'obstacle' point-sample reducer costs 0.376 vs 0.071 at
+       range 8. Fixed point: usable_range=6 + overlap + stride 2.
+    2. Insert algorithm: free_impl='auto' resolves to the polar free
+       fill on TPU, whose wall-halo erosion aliases the global B&B —
+       the config-fixed preset still read 5-seed ATE 3.8-5.2 on chip
+       (viny_ms_m3_r5fix_* / viny_ms_m3sw_* rows) while measuring 0.07
+       on CPU, where 'auto' = dda. Pinned to 'dda' (see the BeamConfig
+       comment below); with it the TPU run is bitwise equal to CPU
+       (scripts/r5/m3_divergence.py) at ATE 0.0705-0.0708, better than
+       the plain viny preset. refine stays 8 (refine 4 measured 0.0872
+       on one seed).
     """
     import math
 
@@ -116,7 +122,20 @@ def viny_m3rsm_config(
         ),
         beam=raycast.BeamConfig(
             max_range=usable_range, occupancy_estimator="const",
-            hole_width=hole_width, wall_blur=True, free_impl="auto",
+            # PINNED to the per-beam DDA free fill (not 'auto'): 'auto'
+            # resolves to the dense polar fill on TPU, whose conservative
+            # neighbor-min range erosion leaves an unknown halo around
+            # walls seen at grazing angles (corridor walls!). Local
+            # sigma-bounded matchers never rank hypotheses across that
+            # halo; the M3RSM global B&B does, and aliases — the preset
+            # read 5-seed ATE 3.8-5.2 m on EVERY chip window while the
+            # same config measured 0.07 on CPU (where 'auto' = dda). With
+            # dda the TPU trajectory is BITWISE equal to CPU's
+            # (scripts/r5/m3_divergence.py; viny_ms_m3_dda_* rows). Polar
+            # stays the right call for the local-matcher presets (its
+            # committed 5-seed rows pass, and it is the tiny preset's
+            # ~300x insert-FLOP win).
+            hole_width=hole_width, wall_blur=True, free_impl="dda",
         ),
         map_height=map_size,
         map_width=map_size,

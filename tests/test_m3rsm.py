@@ -263,3 +263,19 @@ def test_m3rsm_window_equals_full():
     np.testing.assert_array_equal(
         np.asarray(res_full2.pose), np.asarray(res_win2.pose)
     )
+
+
+def test_viny_m3rsm_preset_pins_dda_free_fill():
+    """free_impl='auto' is an ALGORITHM swap (dense polar fill on TPU, DDA
+    elsewhere), not an impl swap — so with 'auto' the CPU suite validates a
+    DIFFERENT insert than the chip runs. For the global M3RSM matcher that
+    gap was fatal: the polar fill's wall-halo erosion aliased the B&B and
+    the preset read 5-seed ATE 3.8-5.2 m on chip while measuring 0.07 on
+    CPU (r5 root cause — scripts/r5/m3_divergence.py; with dda the TPU
+    trajectory is bitwise equal to CPU's). The preset must pin 'dda' so
+    what this suite validates is exactly what ships on TPU."""
+    from slam_constructor_tpu.models import viny
+
+    cfg = viny.viny_m3rsm_config()
+    assert cfg.beam.free_impl == "dda"
+    assert cfg.beam.resolved_free_impl() == "dda"

@@ -205,3 +205,42 @@ def test_insert_scan_polar_pallas_close_to_polar():
     )
     diff = np.abs(np.asarray(a.cells) - np.asarray(b.cells))
     assert (diff > 1e-4).sum() <= diff.size * 1e-3
+
+
+def test_polar_missing_free_concentrates_at_walls():
+    """Characterize the polar fill's documented bias (the r5 viny_m3rsm
+    root cause): the free evidence it omits relative to DDA is the
+    neighbor-min erosion band AROUND obstacles — an unknown halo that
+    global matchers rank across (aliasing wall-adjacent translations)
+    while sigma-bounded local matchers never see. The halo must stay a
+    small, wall-adjacent fraction; if this starts failing, the polar
+    approximation changed character and every 'auto' preset needs its
+    on-chip 5-seed row re-run."""
+    occ, origin, scale = datagen.box_world(8.0, 0.1, obstacles=3, seed=2)
+    bearings = datagen.default_bearings(360)
+    pose = jnp.array([0.4, -0.3, 0.2])
+    s = raycast.cast_rays(occ, origin, scale, pose, bearings)
+    model = cells.BayesAvgCell()
+    gm = grid.make_grid_map(model, 120, 120, 0.1)
+    wd, sd = raycast.scan_observation_planes(
+        gm, pose, s, raycast.BeamConfig(free_impl="dda"))
+    wp, sp = raycast.scan_observation_planes(
+        gm, pose, s, raycast.BeamConfig(free_impl="polar"))
+    free_d = np.asarray(wd - sd) > 0
+    free_p = np.asarray(wp - sp) > 0
+    missing = free_d & ~free_p  # DDA-free cells polar leaves unknown
+    # wall mask: cells with endpoint (occupied) evidence, dilated 2 cells
+    wall = np.asarray(sd) > 0
+    k = 2
+    dil = wall.copy()
+    for _ in range(k):
+        d2 = dil.copy()
+        d2[1:, :] |= dil[:-1, :]
+        d2[:-1, :] |= dil[1:, :]
+        d2[:, 1:] |= dil[:, :-1]
+        d2[:, :-1] |= dil[:, 1:]
+        dil = d2
+    at_wall = (missing & dil).sum() / max(missing.sum(), 1)
+    assert at_wall > 0.5, f"missing-free cells near walls only {at_wall}"
+    # and the halo is small relative to the free region
+    assert missing.sum() / max(free_d.sum(), 1) < 0.1
