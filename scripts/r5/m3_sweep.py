@@ -44,7 +44,40 @@ def emit_variant(row):
         f.write(json.dumps(row) + "\n")
 
 
+def _with_refine(cfg, n):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, matcher_cfg=dataclasses.replace(cfg.matcher_cfg,
+                                             refine_iterations=n))
+
+
 def variants():
+    if os.environ.get("STAGE") == "3":
+        # stage 3: how narrow can the frontier go? (bw64 was quality-
+        # bitwise-identical to bw96 — the beam never prunes the winner
+        # at these shapes)
+        base = dict(map_size=256, usable_range=5.0)
+        return {
+            "r5_bw64": viny.viny_m3rsm_config(**base, beam_width=64),
+            "r5_bw48": viny.viny_m3rsm_config(**base, beam_width=48),
+            "r5_bw32": viny.viny_m3rsm_config(**base, beam_width=32),
+        }
+    if os.environ.get("STAGE") == "2":
+        # second stage around the stage-1 winner (r5_bw96: range 5 +
+        # beam_width 96, clean 5-seed at both noises, ~400-410 scans/s):
+        # one lever each on frontier width, scoring stride, refine depth
+        base = dict(map_size=256, usable_range=5.0)
+        return {
+            "r5_bw96": viny.viny_m3rsm_config(**base, beam_width=96),
+            "r5_bw64": viny.viny_m3rsm_config(**base, beam_width=64),
+            "r5_bw96_s3": viny.viny_m3rsm_config(
+                **base, beam_width=96, stride=3),
+            "r5_bw96_ref6": _with_refine(
+                viny.viny_m3rsm_config(**base, beam_width=96), 6),
+            "r5_nt7_bw64": viny.viny_m3rsm_config(
+                **base, n_theta=7, beam_width=64),
+        }
     return {
         "r6": viny.viny_m3rsm_config(map_size=256),
         "r5": viny.viny_m3rsm_config(map_size=256, usable_range=5.0),

@@ -69,12 +69,12 @@ def make_engine(**kwargs) -> Engine:
 def viny_m3rsm_config(
     map_size: int = 256,
     map_scale: float = 0.1,
-    usable_range: float = 6.0,
+    usable_range: float = 5.0,
     quality: float = 0.5,
     hole_width: float = 0.3,
     levels: int = 4,
     n_theta: int = 9,
-    beam_width: int = 128,
+    beam_width: int = 48,
     half_xy: float = 0.6,
     half_theta: float = 0.2,
     stride: int = 2,
@@ -92,16 +92,27 @@ def viny_m3rsm_config(
        stride=1) fail even on CPU — range 4 diverges with any scoring
        (1.97/0.84 at overlap; the cecum loop needs >= 6 m of reach) and
        the 'obstacle' point-sample reducer costs 0.376 vs 0.071 at
-       range 8. Fixed point: usable_range=6 + overlap + stride 2.
+       range 8. Fixed point: overlap reducer + stride 2 + range >= 5.
     2. Insert algorithm: free_impl='auto' resolves to the polar free
        fill on TPU, whose wall-halo erosion aliases the global B&B —
        the config-fixed preset still read 5-seed ATE 3.8-5.2 on chip
        (viny_ms_m3_r5fix_* / viny_ms_m3sw_* rows) while measuring 0.07
        on CPU, where 'auto' = dda. Pinned to 'dda' (see the BeamConfig
        comment below); with it the TPU run is bitwise equal to CPU
-       (scripts/r5/m3_divergence.py) at ATE 0.0705-0.0708, better than
-       the plain viny preset. refine stays 8 (refine 4 measured 0.0872
-       on one seed).
+       (scripts/r5/m3_divergence.py).
+
+    Shipped operating point (scripts/r5/m3_sweep.py stages 1-3, all
+    on-chip): usable_range=5 + beam_width=48 + n_theta=9. On-chip
+    5-seed ATE 0.0704/0.0706 mean/max at bench noise and 0.0721/0.0751
+    at 2x quality noise (viny_ms_m3sw_r5_bw48_dda3_* rows) — better
+    than the plain viny preset — at ~635-700 scans/s. The B&B frontier
+    is NOT the quality constraint at these shapes: beam_width 32-96
+    measured bitwise-identical ATE on every seed (48 ships to keep one
+    notch of frontier margin over the narrowest measured point; the
+    admissibility argument says wider only helps). Rejected levers,
+    each by 5-seed gate: stride 3 (outlier seeds 0.108-0.114),
+    refine 6 (no speed gain), usable_range 4 (diverges even on CPU),
+    refine 4 (0.0872 on one seed).
     """
     import math
 

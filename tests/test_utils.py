@@ -328,3 +328,27 @@ def test_dataset_presets_build():
     assert gcfg.proposal == "improved" and gcfg.insert_window == 384
     assert gcfg.matcher_cfg.scoring.dtype == "bfloat16"
     assert gcfg.weight_gamma == 16.0
+
+
+def test_viny_m3rsm_properties_mirror_preset():
+    """configs/viny_m3rsm.properties must stay in lockstep with
+    viny.viny_m3rsm_config(): the r2-r4 file silently carried the
+    quality-broken pre-r5 knobs (obstacle reducer, no range cap, no
+    free_impl pin) while the Python preset moved on."""
+    from slam_constructor_tpu.models import viny
+    from slam_constructor_tpu.utils import config as cfglib
+
+    p = cfglib.load_properties("configs/viny_m3rsm.properties")
+    c1 = cfglib.engine_config_from(p)
+    c2 = viny.viny_m3rsm_config()
+    m1, m2 = c1.matcher_cfg, c2.matcher_cfg
+    for f in ("half_x", "half_y", "half_theta", "n_theta", "levels",
+              "beam_width", "window", "refine_iterations"):
+        assert getattr(m1, f) == getattr(m2, f), f
+    assert m1.scoring.reducer == m2.scoring.reducer
+    assert m1.scoring.stride == m2.scoring.stride
+    for f in ("max_range", "occupancy_estimator", "hole_width",
+              "wall_blur", "free_impl"):
+        assert getattr(c1.beam, f) == getattr(c2.beam, f), f
+    assert c1.use_angle_histogram == c2.use_angle_histogram
+    assert type(c1.cell_model).__name__ == type(c2.cell_model).__name__
