@@ -125,8 +125,8 @@ def main():
         ("viny", lambda: viny.make_engine(mc_batch=48, mc_rounds=12)),
         # every preset with an official throughput row gets a quality leg
         # here — viny_m3rsm was absent through r4 and its 10.3x rows
-        # shipped with a preset that diverged (r5 fix: range 6 + overlap;
-        # see viny.viny_m3rsm_config docstring)
+        # shipped with a preset that diverged (r5 fix: overlap reducer +
+        # range>=5 + the dda free-fill pin; see viny.viny_m3rsm_config)
         ("viny_m3rsm", lambda: _Engine(viny.viny_m3rsm_config())),
     ]:
         e = make()
