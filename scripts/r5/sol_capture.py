@@ -204,9 +204,10 @@ def main():
 
         add(name, timed_chain(body, pose0))
 
-    # --- m3rsm at the EXACT shipped viny_m3rsm shapes: TBM map, 4 m
-    # usable range (capped beams), per-iteration pyramid build (the preset
-    # rebuilds after every insert), shipped window/beam_width/refine
+    # --- m3rsm at the EXACT shipped viny_m3rsm shapes (read live from
+    # viny_m3rsm_config, so this tracks the preset): TBM map, usable-range-
+    # capped beams, per-iteration pyramid build (a conservative stand-in
+    # for the engine's incremental refresh), shipped window/beam/refine
     vcfg = viny.viny_m3rsm_config(map_size=256)
     vmodel = vcfg.cell_model
     s0v = raycast.cast_rays(
