@@ -79,6 +79,22 @@ class PoseGraphConfig:
         half_x=0.6, half_y=0.6, half_theta=0.3, n_x=7, n_y=7, n_theta=7,
         scoring=scoring.ScoringConfig(reducer="overlap", stride=2),
     )
+    #: OPT-IN bounded parabolic sub-cell refinement of every loop match
+    #: (per-axis parabola through the score at the argmax and its
+    #: +-1-grid-step neighbors; displacement structurally <= half a step
+    #: per axis). Default OFF — both refinement flavors were tried for
+    #: the r5 "graph doubles tracker ATE" bug and REJECTED by
+    #: measurement on the 2-lap bench (seed 42, quantization-error
+    #: hypothesis refuted): unbounded hill-climb 0.464 (walks the
+    #: corridor's degenerate score direction), bounded parabolic 0.316
+    #: old weighting / 0.123 new weighting, vs 0.070 unrefined — the
+    #: continuous score peak is BIASED at sub-cell level (the local map
+    #: is rendered from estimated keyframe poses with wall-blur), so the
+    #: integer argmax plus a correctly-calibrated information weight
+    #: (huber_delta / loop_info_cap above) beats chasing the peak. Kept
+    #: as a knob because coarser grids (pitch >> map noise) may invert
+    #: the tradeoff on other datasets.
+    loop_subcell_refine: bool = False
     #: information (inverse covariance) diagonals for the two edge types
     odom_info: tuple = (100.0, 100.0, 400.0)
     loop_info: tuple = (50.0, 50.0, 200.0)
@@ -86,12 +102,29 @@ class PoseGraphConfig:
     gn_damping: float = 1e-4
     #: Huber robust kernel threshold on per-edge chi (sqrt of weighted
     #: squared residual) for LOOP edges; outlier loops get down-weighted
-    #: instead of dragging the graph. <= 0 disables.
-    huber_delta: float = 1.0
+    #: instead of dragging the graph. <= 0 disables. Default 0.3 (r5):
+    #: loop deltas from the BF grid carry up-to-half-a-pitch quantization
+    #: error, so on sub-cell-accurate trajectories most loop residuals
+    #: ARE "outliers" relative to the tracking chain — at delta 1.0 the
+    #: kernel never engaged and the graph read 2x the tracker-only ATE on
+    #: the 2-lap bench (0.141 vs 0.071 seed 42); 0.3 restores 0.0700
+    #: while the large-drift scenario corrects identically (final error
+    #: 0.068, peak 0.428 — IRLS re-weighting recovers as keyframes move).
+    huber_delta: float = 0.3
     #: estimate loop-edge information from the match score curvature
     #: (degenerate directions — e.g. along a corridor — get low weight)
     #: instead of the fixed ``loop_info`` diagonal
     estimate_loop_info: bool = True
+    #: clip range for the estimated information, as multiples of
+    #: ``loop_info``: [0.1, loop_info_cap]. Score curvature measures match
+    #: SHARPNESS, not match ERROR — a razor-sharp peak sitting half a BF
+    #: grid step (0.1 m) from truth is still half a grid step off, so
+    #: letting the estimate exceed the calibrated ``loop_info`` baseline
+    #: makes the optimizer trust quantized deltas more than the tracking
+    #: chain. The r5 bench dissection (R5_NOTES §10): cap 10.0 read
+    #: 5-seed-class ATE 0.14 vs the same pipeline's 0.071 tracker, cap
+    #: 1.0 restored parity while keeping the directional down-weighting.
+    loop_info_cap: float = 1.0
 
 
 @struct.dataclass
@@ -400,6 +433,67 @@ def _render_local_map(
     return jax.lax.fori_loop(0, span, insert_one, gm)
 
 
+def _match_loop(cfg: PoseGraphConfig, view, scan, pose):
+    """Shared loop-closure match (detect_loops + densify_loops): the
+    configured matcher, then the sub-cell hill-climb polish, then the
+    information estimate AT THE REFINED POSE.
+
+    The refinement is a per-axis parabolic peak fit through the score at
+    the matched pose and its +-1-grid-step neighbors (sub-pixel peak
+    interpolation) — bounded by construction to half a step per axis,
+    which is exactly the quantization error it exists to remove (see
+    PoseGraphConfig.loop_subcell_refine for the measured negative result
+    that rules out unbounded descent here)."""
+    _, loop_match_fn = matcherslib.MATCHERS[cfg.loop_matcher_kind]
+    res = loop_match_fn(view, scan, pose, None, cfg.loop_matcher)
+    if cfg.loop_subcell_refine:
+        lm = cfg.loop_matcher
+        # grid pitches; non-grid matchers fall back to one cell / 0.05 rad
+        sx = 2.0 * getattr(lm, "half_x", 0.0) / max(
+            getattr(lm, "n_x", 1) - 1, 1) or cfg.local_map_scale
+        sy = 2.0 * getattr(lm, "half_y", 0.0) / max(
+            getattr(lm, "n_y", 1) - 1, 1) or cfg.local_map_scale
+        st_ = 2.0 * getattr(lm, "half_theta", 0.0) / max(
+            getattr(lm, "n_theta", 1) - 1, 1) or 0.05
+        offs = jnp.array(
+            [
+                [0.0, 0.0, 0.0],
+                [-sx, 0.0, 0.0], [sx, 0.0, 0.0],
+                [0.0, -sy, 0.0], [0.0, sy, 0.0],
+                [0.0, 0.0, -st_], [0.0, 0.0, st_],
+            ],
+            jnp.float32,
+        )
+        probs7 = scoring.score_poses(
+            view, scan, res.pose[None, :] + offs, lm.scoring
+        )
+
+        def peak(sm, s0, sp, step):
+            denom = sm + sp - 2.0 * s0
+            t = 0.5 * (sm - sp) / jnp.where(
+                jnp.abs(denom) < 1e-12, jnp.inf, denom)
+            # move only toward a concave peak; flat/convex stays put
+            return jnp.where(
+                denom < 0, jnp.clip(t, -0.5, 0.5) * step, 0.0)
+
+        d = jnp.stack([
+            peak(probs7[1], probs7[0], probs7[2], sx),
+            peak(probs7[3], probs7[0], probs7[4], sy),
+            peak(probs7[5], probs7[0], probs7[6], st_),
+        ])
+        res = matcherslib.MatchResult(
+            pose=res.pose + d, prob=res.prob, trace=res.trace)
+    if cfg.estimate_loop_info:
+        info = scoring.estimate_information(
+            view, scan, res.pose, cfg.loop_matcher.scoring
+        )
+        base = jnp.asarray(cfg.loop_info, jnp.float32)
+        info = jnp.clip(info, 0.1 * base, cfg.loop_info_cap * base)
+    else:
+        info = jnp.asarray(cfg.loop_info, jnp.float32)
+    return res.pose, res.prob, info
+
+
 def _detect_candidates(
     cfg: PoseGraphConfig, model, st: PoseGraphState, scan: LaserScan,
     pose: Array, kf_idx: Array,
@@ -425,17 +519,7 @@ def _detect_candidates(
     def match_cand(ci):
         gm = _render_local_map(cfg, model, st, ci)
         view = scoring.MapView.of(gm, model)
-        _, loop_match_fn = matcherslib.MATCHERS[cfg.loop_matcher_kind]
-        res = loop_match_fn(view, scan, pose, None, cfg.loop_matcher)
-        if cfg.estimate_loop_info:
-            info = scoring.estimate_information(
-                view, scan, res.pose, cfg.loop_matcher.scoring
-            )
-            base = jnp.asarray(cfg.loop_info, jnp.float32)
-            info = jnp.clip(info, 0.1 * base, 10.0 * base)
-        else:
-            info = jnp.asarray(cfg.loop_info, jnp.float32)
-        return res.pose, res.prob, info
+        return _match_loop(cfg, view, scan, pose)
 
     poses_m, probs, infos = jax.vmap(match_cand)(cand)
     # perceptual-aliasing gate: the matched pose must stay near the current
@@ -525,17 +609,7 @@ def densify_loops(
         view = scoring.MapView.of(gm, model)
         pose_j = st.kf_poses[cj]
         scan_j = jax.tree.map(lambda a: a[cj], st.kf_scans)
-        _, loop_match_fn = matcherslib.MATCHERS[cfg.loop_matcher_kind]
-        res = loop_match_fn(view, scan_j, pose_j, None, cfg.loop_matcher)
-        if cfg.estimate_loop_info:
-            info = scoring.estimate_information(
-                view, scan_j, res.pose, cfg.loop_matcher.scoring
-            )
-            base = jnp.asarray(cfg.loop_info, jnp.float32)
-            info = jnp.clip(info, 0.1 * base, 10.0 * base)
-        else:
-            info = jnp.asarray(cfg.loop_info, jnp.float32)
-        return res.pose, res.prob, info
+        return _match_loop(cfg, view, scan_j, pose_j)
 
     poses_m, probs, infos = jax.vmap(match_pair)(cand_i, cand_j)
     corr = poses_m - st.kf_poses[cand_j]

@@ -135,3 +135,47 @@ def test_full_pipeline_tbm_tracking(loop_sequence):
     ate = float(evaluate.ate(traj, gt[: traj.shape[0]], align=False))
     assert e.total_loops > 0, "no loop closures with TBM tracking"
     assert ate < 0.25, f"TBM full pipeline ATE {ate}"
+
+
+def test_graph_does_not_degrade_accurate_tracking():
+    """r5 regression (R5_NOTES §10): with the pre-r5 defaults the pose
+    graph DOUBLED the ATE of an already-sub-cell-accurate tracker on the
+    2-lap 360-beam bench (0.141 vs 0.071, seed 42) — curvature-estimated
+    loop information was allowed 10x the calibrated baseline and the
+    Huber kernel never engaged, so the optimizer dragged keyframes to
+    BF-grid-quantized loop deltas. The graph must be (at worst) neutral
+    when tracking is already good; 360 beams matters — at 120 beams the
+    effect is invisible, which is how it survived to r5."""
+    occ, origin, scale = datagen.cecum_world()
+    lap = datagen.rectangle_trajectory(step=0.3)
+    posesq = jnp.tile(lap, (2, 1))
+    bearings = datagen.default_bearings(360)
+    scans, odom, gt = datagen.synth_sequence(
+        occ, origin, scale, posesq, bearings, jax.random.PRNGKey(42),
+        odom_noise_xy=0.01, odom_noise_theta=0.005,
+    )
+    from slam_constructor_tpu.models import engine as eng
+
+    tracking = tiny.tiny_config(map_size=256)
+    st = eng.init_state(tracking)
+    st = st.replace(pose=gt[0])
+    _, traj_t, _ = eng.run_sequence(tracking, st, scans, odom)
+    ate_t = float(evaluate.ate(traj_t, gt, align=False))
+
+    g = pg.PoseGraphConfig(
+        keyframe_distance=0.7, min_index_gap=8, max_candidates=4,
+        local_map_size=120,
+    )
+    e = full.FullSlamEngine(
+        full.FullConfig(tracking=tiny.tiny_config(map_size=256), graph=g,
+                        optimize_every_loops=1),
+        n_beams=360,
+    )
+    e.state = e.state.replace(pose=gt[0])
+    traj_f = e.run(scans, odom, segment=posesq.shape[0])
+    ate_f = float(evaluate.ate(traj_f, gt[: traj_f.shape[0]], align=False))
+
+    assert e.total_loops > 50, "bench should close loops densely"
+    assert ate_f <= 1.3 * ate_t, (
+        f"graph degraded tracking: full {ate_f} vs tracker-only {ate_t}"
+    )
