@@ -38,6 +38,9 @@ from slam_constructor_tpu.utils import datagen, evaluate
 
 SEEDS = [int(s) for s in os.environ.get("SEEDS", "42,7,19,101,202").split(",")]
 BEAMS = int(os.environ.get("BEAMS", 360))
+# capture-generation tag suffix (e.g. SUFFIX=gfix for the r5 loop-info/
+# Huber calibration fix) so re-runs never shadow committed rows
+SUFFIX = os.environ.get("SUFFIX", "")
 
 GRAPH = pglib.PoseGraphConfig(
     keyframe_distance=0.7, min_index_gap=8, max_candidates=4,
@@ -107,7 +110,9 @@ def main():
             loops.append(int(e.total_loops))
         emit({
             "metric": "full_ate_multiseed",
-            "tag": f"full_ms_{name}" + ("" if BEAMS == 360 else f"_b{BEAMS}"),
+            "tag": f"full_ms_{name}"
+            + (("_" + SUFFIX) if SUFFIX else "")
+            + ("" if BEAMS == 360 else f"_b{BEAMS}"),
             "seeds": SEEDS,
             "ate_mean": round(float(np.mean(ates)), 4),
             "ate_max": round(float(np.max(ates)), 4),
