@@ -229,12 +229,12 @@ def main():
 
         # Windowed fast tracker (tiny.fast_config, usable range 8 m +
         # stride 2) is the r5 DEFAULT: quality-neutral vs the full-map
-        # tracker on the committed 5-seed 360-beam bench (full_ms_fast_
-        # sall_bn 0.138/0.152 mean/max vs full_ms_default_sall_bn
-        # 0.131/0.142; the window shrinks matching's memory-bound
-        # sampling operands ~2.6x). SLAM_BENCH_FULL_FAST=0 runs the
-        # full-map tracker (captured side-by-side as full_plain in
-        # scripts/r5/capture_all.py).
+        # tracker on the committed 5-seed 360-beam bench (post-graph-fix
+        # rows: full_ms_fast_sall_bn_gfix 0.0707/0.0720 mean/max vs
+        # full_ms_default_sall_bn_gfix 0.0708/0.0716; the window shrinks
+        # matching's memory-bound sampling operands ~2.6x).
+        # SLAM_BENCH_FULL_FAST=0 runs the full-map tracker (captured
+        # side-by-side as full_plain in scripts/r5/capture_all.py).
         if os.environ.get("SLAM_BENCH_FULL_FAST", "1") not in ("", "0"):
             tracking = tinylib.fast_config(map_size=map_size, stride=2)
         else:
@@ -260,9 +260,10 @@ def main():
         # segment=512 = ONE fused dispatch for the whole sequence: closure
         # bursts fire at keyframe-batch cadence inside it (r4), so
         # correction latency no longer depends on the segment length —
-        # 5-seed 2-lap ATE is segment-size-neutral (full_ms_default_
-        # sall_bn 0.131 whole-seq vs _s64_bn 0.149 mean, inside the seed
-        # spread), and each extra segment boundary costs a tunnel
+        # 5-seed 2-lap ATE is segment-size-neutral (whole-seq vs
+        # segment-64 at the same noise: full_ms_default_sall_bn_gfix
+        # 0.0708 vs full_ms_default_s64_bn_gfix rows differ within the
+        # seed spread), and each extra segment boundary costs a tunnel
         # dispatch that in bad windows runs 100-500 ms
         seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 512))
         # the shared bench trajectory covers <1 lap of the ~27 m rectangle
