@@ -260,10 +260,13 @@ def main():
         # segment=512 = ONE fused dispatch for the whole sequence: closure
         # bursts fire at keyframe-batch cadence inside it (r4), so
         # correction latency no longer depends on the segment length —
-        # 5-seed 2-lap ATE is segment-size-neutral (whole-seq vs
-        # segment-64 at the same noise: full_ms_default_sall_bn_gfix
-        # 0.0708 vs full_ms_default_s64_bn_gfix rows differ within the
-        # seed spread), and each extra segment boundary costs a tunnel
+        # the 5-seed 2-lap ATE cost of segmenting is small and now
+        # MEASURABLE (post-graph-fix variance is ~0.001): whole-seq
+        # full_ms_default_sall_bn_gfix 0.0708 vs segment-64
+        # full_ms_default_s64_bn_gfix 0.0777 — ~10%, every seed. The
+        # whole-seq default is both faster AND slightly better; shorten
+        # segments only to bound host-visible correction latency. Each
+        # extra segment boundary additionally costs a tunnel
         # dispatch that in bad windows runs 100-500 ms
         seg = int(os.environ.get("SLAM_BENCH_SEGMENT", 512))
         # the shared bench trajectory covers <1 lap of the ~27 m rectangle
