@@ -56,6 +56,9 @@ CASES = {
     "default_s64_qn": (lambda: tiny.tiny_config(map_size=256), 64, QUALITY_NOISE),
     "default_s64_bn": (lambda: tiny.tiny_config(map_size=256), 64, BENCH_NOISE),
     "default_sall_bn": (lambda: tiny.tiny_config(map_size=256), "all", BENCH_NOISE),
+    "default_sall_qn": (lambda: tiny.tiny_config(map_size=256), "all", QUALITY_NOISE),
+    "fast_sall_qn": (
+        lambda: tiny.fast_config(map_size=256, stride=2), "all", QUALITY_NOISE),
     "fast_sall_bn": (
         lambda: tiny.fast_config(map_size=256, stride=2), "all", BENCH_NOISE),
     "fast_s64_qn": (
