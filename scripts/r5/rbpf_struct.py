@@ -87,6 +87,12 @@ def variants():
         matcher_cfg=matcherslib.BruteForceConfig(
             half_x=0.18, half_y=0.18, half_theta=0.09, n_x=13, n_y=13,
             n_theta=5, scoring=_fs(2)))
+    # particle-count axis (r5 follow-up): the floor is compute ∝
+    # particles, and p16 is the README QUALITY preset's count — the one
+    # cut never tried while depth cuts all failed the gate
+    for p in (24, 20, 16):
+        v[f"p{p}"] = gmapping.fast_config(
+            n_particles=p, map_size=256, stride=2)
     return v
 
 
