@@ -236,7 +236,12 @@ def main():
         # SLAM_BENCH_FULL_FAST=0 runs the full-map tracker (captured
         # side-by-side as full_plain in scripts/r5/capture_all.py).
         if os.environ.get("SLAM_BENCH_FULL_FAST", "1") not in ("", "0"):
-            tracking = tinylib.fast_config(map_size=map_size, stride=2)
+            # SLAM_BENCH_FULL_ROUNDS: tracker MC annealing rounds (the
+            # tiny_fast eval-count lever brought to the pipeline; gate
+            # rows full_ms_fastr6/_fastr8_*_gfix before changing)
+            rounds = int(os.environ.get("SLAM_BENCH_FULL_ROUNDS", 12))
+            tracking = tinylib.fast_config(
+                map_size=map_size, stride=2, mc_rounds=rounds)
         else:
             tracking = tinylib.tiny_config(map_size=map_size)
 

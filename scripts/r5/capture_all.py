@@ -57,6 +57,8 @@ def main():
                    SLAM_BENCH_PRESET=preset)
         if preset == "full_plain":
             env.update(SLAM_BENCH_PRESET="full", SLAM_BENCH_FULL_FAST="0")
+        elif preset == "full_fast6":
+            env.update(SLAM_BENCH_PRESET="full", SLAM_BENCH_FULL_ROUNDS="6")
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

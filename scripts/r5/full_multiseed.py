@@ -63,6 +63,18 @@ CASES = {
         lambda: tiny.fast_config(map_size=256, stride=2), "all", BENCH_NOISE),
     "fast_s64_qn": (
         lambda: tiny.fast_config(map_size=256, stride=2), 64, QUALITY_NOISE),
+    # r5 follow-up: the tiny_fast-gated eval cut (mc_rounds 6) inside the
+    # full pipeline — tracking is ~90% of the fused program (seg_chain),
+    # so halving tracker evals is the last big single-chip lever
+    "fastr6_sall_bn": (
+        lambda: tiny.fast_config(map_size=256, stride=2, mc_rounds=6),
+        "all", BENCH_NOISE),
+    "fastr6_sall_qn": (
+        lambda: tiny.fast_config(map_size=256, stride=2, mc_rounds=6),
+        "all", QUALITY_NOISE),
+    "fastr8_sall_qn": (
+        lambda: tiny.fast_config(map_size=256, stride=2, mc_rounds=8),
+        "all", QUALITY_NOISE),
     # A/B of the r4-advisor post-burst pose re-expression (see
     # FullConfig.burst_reexpress): reex on = the cases above
     "reex_off_s64_qn": (
